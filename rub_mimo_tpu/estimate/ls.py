@@ -1,0 +1,75 @@
+"""Least-squares MIMO channel estimation from the access-code pilots.
+
+TPU-native replacement for framesync::estimate_channel's LS phase
+(mimo/framing.cc:801-824): for each access code and (rx, tx) pair, FFT the
+M-sample window at that code's matched-filter argmax offset and accumulate
+
+    G[sc][rx][tx] += X_rx[sc] / S1_tx[code][sc]      (occupied sc only)
+
+then scale by dft_normalizer / num_access_codes with
+dft_normalizer = 1/sqrt(M_occupied) (framing.cc:330, 817-824).
+
+Bit-exact quirk: the reference's G is initialized to IDENTITY in the
+constructor (framing.cc:302-319) and never zeroed before the +=, so the
+final estimate carries a dft_normalizer/num_access_codes bias on the
+diagonal.  cfg.bit_exact=True replicates it; False computes the clean LS
+estimate.
+
+All codes x rx x tx windows are gathered and FFT'd as ONE batched
+jnp.fft.fft (the reference runs 80 serial FFTW executes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rub_mimo_tpu.config import ModemConfig
+from rub_mimo_tpu.ofdm import preamble, sctype
+
+
+def estimate_channel(
+    window: jax.Array,
+    ac_index: jax.Array,
+    cfg: ModemConfig,
+) -> jax.Array:
+    """LS channel estimate Ghat: [M, num_streams(rx), num_streams(tx)].
+
+    window:   [streams, W] complex — the replay window
+    ac_index: [streams(rx), codes*streams] int32 — absolute window offsets
+              of each access code's correlation peak (matched_filter.search)
+    """
+    S = cfg.num_streams
+    M = cfg.M
+    codes = cfg.num_access_codes
+    t = preamble.tables(cfg)
+    p = cfg.subcarrier_allocation()
+    occ = jnp.asarray(sctype.occupied_mask(p))
+    m_occ = cfg.M_occupied
+    dft_normalizer = np.float32(1.0 / np.sqrt(m_occ))
+
+    # offsets[code, rx, tx] = ac_index[rx, code*S + tx] (framing.cc:804-806)
+    offsets = ac_index.reshape(S, codes, S).transpose(1, 0, 2)  # [code, rx, tx]
+
+    def slice_one(off, rx):
+        return jax.lax.dynamic_slice(window[rx], (off,), (M,))
+
+    flat_off = offsets.reshape(-1)
+    rx_ids = jnp.tile(
+        jnp.repeat(jnp.arange(S, dtype=jnp.int32), S), codes
+    )  # [code*S(rx)*S(tx)] — rx varies over the middle axis
+    wins = jax.vmap(slice_one)(flat_off, rx_ids)  # [codes*S*S, M]
+    X = jnp.fft.fft(wins.reshape(codes, S, S, M), axis=-1)  # unnormalized
+
+    # S1[tx, code, sc] -> [code, 1(rx), tx, sc]
+    S1 = jnp.asarray(t.S1).transpose(1, 0, 2)[:, None, :, :]
+    ratio = jnp.where(occ[None, None, None, :], X / jnp.where(occ, S1, 1.0), 0.0)
+    Gsum = jnp.sum(ratio, axis=0)  # [rx, tx, M]
+    Gsum = Gsum.transpose(2, 0, 1)  # [M, rx, tx]
+
+    if cfg.bit_exact:
+        eye = jnp.eye(S, dtype=Gsum.dtype)[None, :, :] * occ[:, None, None]
+        Gsum = Gsum + eye
+    G = Gsum * (dft_normalizer / np.float32(codes))
+    return G.astype(jnp.complex64)

@@ -1,0 +1,181 @@
+"""The full RX decode pipeline: one pure, jit-compiled function.
+
+TPU-native replacement for the reference's framesync state machine + offline
+replay (rx_worker re-reads the capture and runs fs.execute() per sample,
+mimo/main.cc:906-922, framing.cc:471-506).  The serial 4-state machine
+collapses into a fixed pipeline of batched array ops:
+
+  capture [streams, T]
+    -> Schmidl&Cox metric + plateau scan  -> sync_index      (sync/)
+    -> replay-window slice (starts one symbol before sync_index, exactly
+       the reference's windowcf content at estimation time, framing.cc:284,
+       639-651)
+    -> matched-filter offset search                          (sync/)
+    -> LS channel estimate Ghat                              (estimate/)
+    -> ZF / MMSE weights                                     (detect/)
+    -> payload slice from corr_indices[last_rx][last_ac] + M
+       (framing.cc:857), CP strip + batched FFT + equalize   (detect/)
+    -> nearest-neighbour demap                               (ofdm/)
+
+Everything is static-shaped given (cfg, T): jit once per capture length.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
+from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.detect import siso as siso_mod
+from rub_mimo_tpu.detect import zf as zf_mod
+from rub_mimo_tpu.estimate import ls
+from rub_mimo_tpu.ofdm import constellation, sctype
+from rub_mimo_tpu.sync import matched_filter, schmidl_cox
+
+
+class DecodeResult(NamedTuple):
+    synced: jax.Array            # bool
+    sync_index: jax.Array        # int32 (framesync::get_sync_index)
+    sync_sample: jax.Array       # int32 — sample where sync fired
+    plateau_start: jax.Array     # int32[streams]
+    plateau_end: jax.Array       # int32[streams]
+    cfo_hat: jax.Array           # float32, subcarrier units
+    G: jax.Array                 # complex64[M, rx, tx] (framesync::get_G)
+    W: jax.Array                 # complex64[M_occupied, out, rx]
+    normalize_gain: jax.Array    # float32[M_occupied]
+    s0_index: jax.Array          # int32[streams]
+    ac_index: jax.Array          # int32[streams, codes*streams]
+    decode_start: jax.Array      # int32 — window offset of first payload CP
+    rx_sig: jax.Array            # complex64[streams, pid_max * M_occupied]
+    rx_data: jax.Array           # int32[streams, pid_max * M_occupied]
+    symbol_valid: jax.Array      # bool[pid_max] — symbol fully inside capture
+    metric: jax.Array | None     # float32[streams, T] when keep_debug
+    mf_traces: jax.Array | None  # float32[streams, n_seq, symbol_len] "
+
+
+def _extract_window(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
+    """Replay window [streams, window_len] starting at sync_index - symbol_len.
+
+    Matches the windowcf content when estimation triggers: the window holds
+    the last access_code_buffer_len + tx_sig_samples pushed samples, whose
+    first element is capture[sync_index - symbol_len] (derivation: trigger
+    at sync_index + tx_sig + acbl - symbol_len samples processed,
+    framing.cc:639-647; window length acbl + tx_sig, framing.cc:387-388).
+    Out-of-range regions are zero, like the windowcf's zero-initialized
+    backing store.
+    """
+    S = cfg.num_streams
+    padded = jnp.pad(iq, ((0, 0), (cfg.symbol_len, cfg.window_len)))
+    start = jnp.clip(sync_index, 0, iq.shape[-1])
+    return jax.lax.dynamic_slice(
+        padded, (jnp.int32(0), start.astype(jnp.int32)), (S, cfg.window_len)
+    )
+
+
+def decode(
+    iq: jax.Array,
+    cfg: ModemConfig,
+    *,
+    keep_debug: bool = False,
+    mf_method: str = "xcorr",
+) -> DecodeResult:
+    """Decode a whole capture. iq: [num_streams, T] complex64."""
+    S = cfg.num_streams
+    M = cfg.M
+    m_occ = cfg.M_occupied
+    p = cfg.subcarrier_allocation()
+    occ_idx = jnp.asarray(sctype.occupied_indices(p))
+    T = iq.shape[-1]
+
+    # ---- sync ----
+    sync = schmidl_cox.synchronize(iq, cfg, keep_metric=keep_debug)
+    if cfg.correct_cfo:
+        iq = schmidl_cox.correct_cfo(iq, sync.cfo_hat, M)
+
+    # ---- replay window ----
+    window = _extract_window(iq, sync.sync_index, cfg)
+
+    # ---- matched-filter offset search ----
+    mf = matched_filter.search(
+        window, cfg, method=mf_method, keep_traces=keep_debug
+    )
+
+    # ---- LS channel estimate ----
+    G = ls.estimate_channel(window, mf.ac_index, cfg)
+    G_occ = G[occ_idx]  # [m_occ, rx, tx]
+
+    # ---- detector weights ----
+    if cfg.mode == CommMode.SISO:
+        W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
+        gain = jnp.ones((m_occ,), dtype=jnp.float32)
+    elif cfg.detector == Detector.MMSE:
+        W, gain = mmse_mod.mmse_weights(G_occ, cfg.mmse_noise_var)
+    else:
+        W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+
+    # ---- payload slice & batched OFDM demodulation ----
+    # decode starts at the last access code's peak + M on the last rx stream
+    # (the reference hardcodes rx index 1 == num_streams-1, framing.cc:857)
+    decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
+    n_sym = cfg.pid_max
+    payload = jax.lax.dynamic_slice(
+        window,
+        (jnp.int32(0), decode_start),
+        (S, n_sym * cfg.symbol_len),
+    ).reshape(S, n_sym, cfg.symbol_len)
+    x_t = payload[:, :, cfg.cp_len :]  # CP strip (framing.cc:558)
+    X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
+    Y = X[:, :, occ_idx]  # [S(rx), n_sym, m_occ]
+    Y = jnp.moveaxis(Y, 1, 0)  # [n_sym, S, m_occ]
+
+    if cfg.mode == CommMode.SISO:
+        eq_one = siso_mod.siso_equalize(Y, G_occ, cfg.siso_rx, cfg.siso_tx)
+        eq = jnp.zeros_like(Y)
+        eq = eq.at[:, cfg.siso_rx, :].set(eq_one)
+    else:
+        eq = zf_mod.equalize(Y, W, gain)  # [n_sym, S(out), m_occ]
+
+    # symbol validity: the whole symbol must fall inside the real capture
+    # (the reference would simply not have decoded past the buffer)
+    win_valid = (T + cfg.symbol_len) - sync.sync_index
+    ends = decode_start + (jnp.arange(n_sym, dtype=jnp.int32) + 1) * cfg.symbol_len
+    symbol_valid = (ends <= win_valid) & sync.synced
+
+    rx_sig = jnp.moveaxis(eq, 0, 1).reshape(S, n_sym * m_occ)
+    rx_data = constellation.demodulate(rx_sig, cfg.modulation)
+
+    return DecodeResult(
+        synced=sync.synced,
+        sync_index=sync.sync_index,
+        sync_sample=sync.sync_sample,
+        plateau_start=sync.plateau_start,
+        plateau_end=sync.plateau_end,
+        cfo_hat=sync.cfo_hat,
+        G=G,
+        W=W,
+        normalize_gain=gain,
+        s0_index=mf.s0_index,
+        ac_index=mf.ac_index,
+        decode_start=decode_start,
+        rx_sig=rx_sig,
+        rx_data=rx_data,
+        symbol_valid=symbol_valid,
+        metric=sync.metric,
+        mf_traces=mf.traces,
+    )
+
+
+def make_decoder(cfg: ModemConfig, *, keep_debug: bool = False,
+                 mf_method: str = "xcorr"):
+    """jit-compiled decode closure for a fixed config."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _decode(iq):
+        return decode(iq, cfg, keep_debug=keep_debug, mf_method=mf_method)
+
+    return _decode

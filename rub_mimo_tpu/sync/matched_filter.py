@@ -1,0 +1,139 @@
+"""Matched-filter timing refinement over the access-code region.
+
+TPU-native replacement for the channel estimator's offset search
+(mimo/framing.cc:702-744, USE_NEW_CHANNEL_EST): for every candidate offset
+i in [0, symbol_len), every rx stream, and every one of the
+1 + num_access_codes*num_streams sequences (S0 plus each (code, tx) access
+code), the reference FFTs an M-sample window and conjugate-dot-products it
+against the frequency-domain sequence — ~180k serial FFT+dot pairs.
+
+Because the DFT is unitary up to scale, that frequency-domain dot product
+equals a time-domain correlation against the sequence's unnormalized
+inverse FFT:
+
+    sum_k FFT(w)[k] * conj(S[k])  ==  sum_n w[n] * conj(ifft_fftw(S)[n])
+
+so the whole (offset x sequence x rx) search collapses to a batch of
+FFT-based cross-correlations over the search region — a few dozen large
+FFTs instead of ~180k small ones.  corr values are |.|^2 / M^2 exactly as
+the reference computes them (framing.cc:716-717, 733-734).
+
+A direct windowed-einsum variant is kept for validation (method="direct").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rub_mimo_tpu.config import ModemConfig
+from rub_mimo_tpu.ofdm import preamble
+
+
+class MatchedFilterResult(NamedTuple):
+    s0_index: jax.Array    # int32[streams] — argmax offset for S0
+    s0_peak: jax.Array     # float32[streams]
+    ac_index: jax.Array    # int32[streams, codes*streams] — absolute offsets
+    ac_peak: jax.Array     # float32[streams, codes*streams]
+    # full correlation traces over the search offsets, for the reference's
+    # corr_<chan>_<ac>.dat debug artifacts (framing.cc:874-881):
+    # [streams, 1 + codes*streams, symbol_len]
+    traces: jax.Array | None
+
+
+def _templates(cfg: ModemConfig) -> np.ndarray:
+    """[1 + codes*streams, M] unnormalized time-domain templates.
+
+    Row 0 is S0; row 1 + code*streams + tx is access code (code, tx) —
+    matching the reference's _ac_id = code*num_streams + tx_chan ordering
+    (framing.cc:724).
+    """
+    t = preamble.tables(cfg)
+    rows = [t.s0_unnormalized]
+    for code in range(cfg.num_access_codes):
+        for tx in range(cfg.num_streams):
+            rows.append(t.s1_unnormalized[tx, code])
+    return np.stack(rows).astype(np.complex64)
+
+
+def _fft_len(n: int) -> int:
+    """Next power of two >= n."""
+    return 1 << (n - 1).bit_length()
+
+
+def search(
+    window: jax.Array,
+    cfg: ModemConfig,
+    *,
+    method: str = "xcorr",
+    keep_traces: bool = False,
+) -> MatchedFilterResult:
+    """Run the (offset, sequence, rx) correlation search.
+
+    window: [streams, >= symbol_len*(1 + codes*streams) + M] complex — the
+    replay window starting one symbol before sync_index (framing.cc:284,
+    639-651; see pipeline.rx for the slicing).
+
+    Sequence q's candidate offsets are i + symbol_len*q for i in
+    [0, symbol_len) (framing.cc:707, 725: S0 at q=0, access code ac_id at
+    q=ac_id+1).
+    """
+    S = cfg.num_streams
+    sym = cfg.symbol_len
+    M = cfg.M
+    n_seq = 1 + cfg.num_access_codes * S
+    tmpl = jnp.asarray(_templates(cfg))  # [n_seq, M]
+
+    if method == "xcorr":
+        region = sym * n_seq + M  # covers max offset + window length
+        L = _fft_len(region)
+        w = window[:, :region]
+        if w.shape[1] < region:
+            w = jnp.pad(w, ((0, 0), (0, region - w.shape[1])))
+        Wf = jnp.fft.fft(w, n=L, axis=-1)  # [S, L]
+        Tf = jnp.fft.fft(tmpl, n=L, axis=-1)  # [n_seq, L]
+        corr_full = jnp.fft.ifft(
+            Wf[:, None, :] * jnp.conj(Tf)[None, :, :], axis=-1
+        )  # [S, n_seq, L];  corr_full[r, q, j] = sum_n w[r, j+n] conj(t[q, n])
+        mag = (
+            jnp.real(corr_full) ** 2 + jnp.imag(corr_full) ** 2
+        ).astype(jnp.float32) / np.float32(M * M)
+        # per sequence q, its own offset lane: j = i + sym*q, i in [0, sym)
+        base = np.arange(n_seq, dtype=np.int32) * sym
+        lanes = base[None, :, None] + np.arange(sym, dtype=np.int32)[None, None, :]
+        vals = jnp.take_along_axis(
+            mag, jnp.asarray(np.broadcast_to(lanes, (1, n_seq, sym))), axis=-1
+        )  # [S, n_seq, sym]
+    elif method == "direct":
+        # reference-shaped: gather each M-window and dot against templates
+        offs = (
+            np.arange(n_seq, dtype=np.int32)[:, None] * sym
+            + np.arange(sym, dtype=np.int32)[None, :]
+        )  # [n_seq, sym]
+        gather = jnp.asarray(offs)[:, :, None] + jnp.arange(M, dtype=jnp.int32)
+        wins = window[:, gather]  # [S, n_seq, sym, M]
+        dots = jnp.einsum(
+            "rqim,qm->rqi", wins, jnp.conj(tmpl)
+        )  # [S, n_seq, sym]
+        vals = (
+            jnp.real(dots) ** 2 + jnp.imag(dots) ** 2
+        ).astype(jnp.float32) / np.float32(M * M)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown matched-filter method {method!r}")
+
+    i_star = jnp.argmax(vals, axis=-1).astype(jnp.int32)  # [S, n_seq]
+    peaks = jnp.take_along_axis(vals, i_star[..., None], axis=-1)[..., 0]
+    abs_idx = i_star + jnp.asarray(
+        np.arange(n_seq, dtype=np.int32) * sym
+    )[None, :]
+
+    return MatchedFilterResult(
+        s0_index=abs_idx[:, 0],
+        s0_peak=peaks[:, 0],
+        ac_index=abs_idx[:, 1:],
+        ac_peak=peaks[:, 1:],
+        traces=vals if keep_traces else None,
+    )
