@@ -135,6 +135,16 @@ class ModemConfig:
     #     mimo/main.cc "FIXME correct frequency offset", framing.cc:486) ---
     correct_cfo: bool = False
 
+    # --- matched-filter timing mode ---
+    # "per_code": independent argmax per (rx, access code) — the reference's
+    #   behaviour (framing.cc:702-744), fragile on weak cross-channels (its
+    #   own FIXME at framing.cc:797-800 notes the peaks should be
+    #   symbol_len apart).
+    # "joint": pool correlation energy over all codes/streams/rx at a
+    #   common base offset, one global argmax (new, more robust).
+    # bit_exact=True forces "per_code".
+    timing_mode: str = "joint"
+
     # --- RF operating point (mimo/config.h:55-59); informational for the
     #     file-replay pipeline, used by the simulator & manifests ---
     center_frequency: float = 2450e6

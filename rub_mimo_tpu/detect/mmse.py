@@ -27,7 +27,14 @@ def mmse_weights(G: jax.Array, noise_var: float | jax.Array) -> Tuple[jax.Array,
     N = G.shape[-1]
     Gh = jnp.conj(jnp.swapaxes(G, -1, -2))
     A = G @ Gh + noise_var * jnp.eye(N, dtype=G.dtype)
-    # W = G^H A^{-1}  ==  solve(A^T, G*)^T  — use solve for stability
-    W = jnp.swapaxes(jnp.linalg.solve(jnp.swapaxes(A, -1, -2), jnp.conj(G)), -1, -2)
+    # W0 = G^H A^{-1}  ==  solve(A^T, G*)^T  — use solve for stability
+    W0 = jnp.swapaxes(
+        jnp.linalg.solve(jnp.swapaxes(A, -1, -2), jnp.conj(G)), -1, -2
+    )
+    # Unbiased MMSE: the raw estimator shrinks each stream by
+    # d_k = (W0 G)_kk < 1, which breaks hard-decision QAM demapping.
+    # Normalize rows by 1/d_k so decisions are unbiased.
+    d = jnp.einsum("...ij,...ji->...i", W0, G)
+    W = W0 / d[..., :, None]
     gain = jnp.ones(G.shape[:-2], dtype=jnp.float32)
     return W.astype(jnp.complex64), gain

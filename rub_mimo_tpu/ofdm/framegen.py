@@ -104,6 +104,13 @@ def transmit_frame(
     from rub_mimo_tpu.ofdm import constellation
 
     sig = constellation.modulate(tx_data, cfg.modulation)
+    if cfg.mode.value == "siso":
+        # only SISO_TX transmits; the other streams' tx_sig buffers stay
+        # zero-filled (main.cc:1213-1219: std::fill then modulate only
+        # chan == SISO_TX)
+        mask = jnp.zeros((cfg.num_streams, 1), dtype=sig.dtype)
+        mask = mask.at[cfg.siso_tx, 0].set(1.0)
+        sig = sig * mask
     sig = sig.reshape(cfg.num_streams, cfg.pid_max, cfg.M_occupied)
     payload_t = assemble_payload(cfg, sig)
     parts = []

@@ -100,8 +100,9 @@ def decode(
     window = _extract_window(iq, sync.sync_index, cfg)
 
     # ---- matched-filter offset search ----
+    joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
     mf = matched_filter.search(
-        window, cfg, method=mf_method, keep_traces=keep_debug
+        window, cfg, method=mf_method, joint=joint, keep_traces=keep_debug
     )
 
     # ---- LS channel estimate ----

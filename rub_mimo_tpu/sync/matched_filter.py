@@ -69,6 +69,7 @@ def search(
     cfg: ModemConfig,
     *,
     method: str = "xcorr",
+    joint: bool = False,
     keep_traces: bool = False,
 ) -> MatchedFilterResult:
     """Run the (offset, sequence, rx) correlation search.
@@ -124,7 +125,16 @@ def search(
     else:  # pragma: no cover
         raise ValueError(f"unknown matched-filter method {method!r}")
 
-    i_star = jnp.argmax(vals, axis=-1).astype(jnp.int32)  # [S, n_seq]
+    if joint:
+        # pool correlation energy over all rx streams and sequences at a
+        # common base offset; all peaks then sit exactly symbol_len apart —
+        # the property the reference's FIXME (framing.cc:797-800) wishes
+        # for but never enforces.
+        score = jnp.sum(vals, axis=(0, 1))  # [sym]
+        i0 = jnp.argmax(score).astype(jnp.int32)
+        i_star = jnp.broadcast_to(i0, (S, n_seq)).astype(jnp.int32)
+    else:
+        i_star = jnp.argmax(vals, axis=-1).astype(jnp.int32)  # [S, n_seq]
     peaks = jnp.take_along_axis(vals, i_star[..., None], axis=-1)[..., 0]
     abs_idx = i_star + jnp.asarray(
         np.arange(n_seq, dtype=np.int32) * sym
