@@ -1,0 +1,273 @@
+"""Multi-chip decode: time-sharded sync + replicated CSI + sharded payload.
+
+The headline distributed feature (SURVEY §5 long-context): the capture's
+time axis — millions of IQ samples the reference walks serially per sample
+(framing.cc:481) — is sharded across TPU chips in three shard_map stages:
+
+  stage A — S&C sync: each shard computes the metric over its block with an
+    (M-1)-sample overlap-save halo fetched from its left neighbor via
+    ppermute; plateau run-tracking is a local cummax whose cross-shard
+    carry is a prefix-max exchanged with all_gather; the global first-fire
+    election is a min-reduction over per-shard candidates.
+
+  stage B — preamble-region gather: each shard masks out its overlap with
+    the ~(n_seq+1)-symbol estimation region and a psum over 'time'
+    replicates it everywhere (the CSI all-gather of SURVEY §2.6); matched
+    filter + LS estimate + detector weights then run replicated — the
+    sharded equivalent of the reference's single windowcf buffer
+    (framing.cc:700).
+
+  stage C — payload decode: every shard decodes exactly the OFDM symbols
+    whose first sample lands in its block, reading up to symbol_len
+    samples into a right-neighbor halo (ppermute again); CP-strip + batched
+    FFT + equalize + demap run entirely on-shard with the replicated
+    weights, and the per-shard symbol slabs are scatter-assembled into the
+    global [streams, pid_max, M_occupied] output.
+
+Constraint: T / n_time >= symbol_len (each shard must own at least one
+symbol start).  Captures are padded by parallel.mesh.shard_capture.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
+from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.detect import siso as siso_mod
+from rub_mimo_tpu.detect import zf as zf_mod
+from rub_mimo_tpu.estimate import ls
+from rub_mimo_tpu.ofdm import constellation, sctype
+from rub_mimo_tpu.sync import matched_filter, schmidl_cox
+
+_BIG = jnp.int32(2**30)
+
+
+class ShardedDecodeResult(NamedTuple):
+    synced: jax.Array
+    sync_index: jax.Array
+    sync_sample: jax.Array
+    G: jax.Array
+    decode_start: jax.Array
+    rx_sig: jax.Array
+    rx_data: jax.Array
+
+
+# --------------------------------------------------------------- stage A
+def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int):
+    """Per-shard sync: [S, Tloc] block -> (t_global [1], starts [1,S],
+    fired [1]) candidates for the global first-fire election."""
+    S, Tloc = local.shape
+    halo = cfg.M - 1
+    me = jax.lax.axis_index("time")
+
+    if n_time > 1:
+        left = jax.lax.ppermute(
+            local[:, -halo:], "time", [(j, j + 1) for j in range(n_time - 1)]
+        )
+    else:
+        left = jnp.zeros((S, halo), dtype=local.dtype)
+    ext = jnp.concatenate([left, local], axis=-1)
+    block = min(1 << 15, Tloc + halo)
+    metric_ext, _ = schmidl_cox.sc_metric(ext, cfg.M, block=block)
+    metric = metric_ext[:, halo:]
+
+    gidx = me * Tloc + jnp.arange(Tloc, dtype=jnp.int32)
+    above = metric > cfg.plateau_threshold
+    masked = jnp.where(above, jnp.int32(-1), gidx[None, :])
+    local_cm = jax.lax.cummax(masked, axis=1)
+    shard_max = local_cm[:, -1]
+    all_max = jax.lax.all_gather(shard_max, "time", axis=0)  # [n, S]
+    prev = jnp.arange(n_time, dtype=jnp.int32)[:, None] < me
+    prefix = jnp.max(jnp.where(prev, all_max, jnp.int32(-1)), axis=0)
+    last_below = jnp.maximum(local_cm, prefix[:, None])
+    run_start = last_below + 1
+    cond = above & ((gidx[None, :] - run_start) > cfg.cp_len)
+    cond_all = jnp.all(cond, axis=0)
+    fired = jnp.any(cond_all)
+    t_loc = jnp.argmax(cond_all).astype(jnp.int32)
+    t_global = jnp.where(fired, gidx[t_loc], _BIG)
+    starts = run_start[:, t_loc]
+
+    # global first-fire election, fully inside the shard_map: the winner is
+    # the shard with the smallest fire sample; its run starts are broadcast
+    # by a masked psum.  All outputs replicated.
+    best_t = jax.lax.pmin(t_global, "time")
+    fired_any = jax.lax.pmax(fired.astype(jnp.int32), "time") > 0
+    win = fired & (t_global == best_t)
+    starts_out = jax.lax.psum(
+        jnp.where(win, starts, jnp.int32(0)), "time"
+    )
+    return best_t, starts_out, fired_any
+
+
+# --------------------------------------------------------------- stage B
+def _region_stage(local: jax.Array, rstart: jax.Array, region_len: int):
+    """Replicate capture[rstart : rstart+region_len] via masked local
+    slices + psum (positions outside the capture read as zeros, matching
+    the zero-initialized windowcf backing store)."""
+    S, Tloc = local.shape
+    me = jax.lax.axis_index("time")
+    base = me * Tloc
+    loc_pad = jnp.pad(local, ((0, 0), (region_len, region_len)))
+    # clip into the padded range: empty overlaps land entirely in the zero
+    # padding (lax.dynamic_slice would WRAP negative starts python-style)
+    start = jnp.clip(rstart - base + region_len, 0, Tloc + region_len)
+    part = jax.lax.dynamic_slice(
+        loc_pad, (jnp.int32(0), start.astype(jnp.int32)), (S, region_len)
+    )
+    return jax.lax.psum(part, "time")
+
+
+# --------------------------------------------------------------- stage C
+def _payload_stage(
+    local: jax.Array,
+    pstart: jax.Array,
+    W: jax.Array,
+    gain: jax.Array,
+    G_occ: jax.Array,
+    cfg: ModemConfig,
+    n_time: int,
+    occ_idx: jax.Array,
+):
+    """Decode the OFDM symbols whose start sample falls in this shard.
+
+    Returns (eq [1, nloc, S, m_occ], k_ids [1, nloc], valid [1, nloc]).
+    """
+    S, Tloc = local.shape
+    sym = cfg.symbol_len
+    m_occ = cfg.M_occupied
+    nloc = -(-Tloc // sym) + 1
+    me = jax.lax.axis_index("time")
+    base = me * Tloc
+
+    if n_time > 1:
+        right = jax.lax.ppermute(
+            local[:, :sym], "time", [(j + 1, j) for j in range(n_time - 1)]
+        )
+    else:
+        right = jnp.zeros((S, sym), dtype=local.dtype)
+    ext = jnp.concatenate([local, right], axis=-1)  # [S, Tloc + sym]
+
+    # first global symbol index owned by this shard: smallest k with
+    # pstart + k*sym >= base
+    k0 = jnp.maximum(0, -((pstart - base) // sym)).astype(jnp.int32)
+    rel0 = pstart + k0 * sym - base  # in [0, sym) when k0 > 0
+
+    ks = k0 + jnp.arange(nloc, dtype=jnp.int32)
+    rels = rel0 + jnp.arange(nloc, dtype=jnp.int32) * sym
+    owned = (rels >= 0) & (rels < Tloc) & (ks < cfg.pid_max)
+
+    def grab(rel):
+        start = jnp.clip(rel, 0, Tloc)  # clamp; invalid slots are masked
+        return jax.lax.dynamic_slice(
+            ext, (jnp.int32(0), start.astype(jnp.int32)), (S, sym)
+        )
+
+    wins = jax.vmap(grab)(rels)  # [nloc, S, sym]
+    x_t = wins[:, :, cfg.cp_len :]
+    X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
+    Y = X[:, :, occ_idx]  # [nloc, S, m_occ]
+    if cfg.mode == CommMode.SISO:
+        eq_one = siso_mod.siso_equalize(Y, G_occ, cfg.siso_rx, cfg.siso_tx)
+        eq = jnp.zeros_like(Y).at[:, cfg.siso_rx, :].set(eq_one)
+    else:
+        eq = zf_mod.equalize(Y, W, gain)
+
+    # scatter this shard's symbols into the global [pid, S, m_occ] grid and
+    # psum-assemble (each symbol is owned by exactly one shard; row pid_max
+    # is the trash slot for unowned lanes)
+    dest = jnp.where(owned, ks, jnp.int32(cfg.pid_max))
+    local_out = jnp.zeros(
+        (cfg.pid_max + 1, S, m_occ), dtype=jnp.complex64
+    ).at[dest].add(jnp.where(owned[:, None, None], eq, 0))
+    return jax.lax.psum(local_out[: cfg.pid_max], "time")
+
+
+def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
+    """jit-compiled sharded decoder for [streams, T] captures placed with
+    parallel.mesh.shard_capture (T must be a multiple of the 'time' size)."""
+    if cfg.correct_cfo:
+        raise NotImplementedError("sharded decode runs with correct_cfo=False")
+    S = cfg.num_streams
+    M = cfg.M
+    sym = cfg.symbol_len
+    m_occ = cfg.M_occupied
+    n_time = mesh.shape["time"]
+    if T % n_time:
+        raise ValueError("T must be padded to a multiple of the time axis")
+    if T // n_time < sym:
+        raise ValueError("each time shard must cover at least symbol_len")
+    n_seq = 1 + cfg.num_access_codes * S
+    region_len = sym * n_seq + M
+    p = cfg.subcarrier_allocation()
+    occ_idx = jnp.asarray(sctype.occupied_indices(p))
+    joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
+    nloc = -(-(T // n_time) // sym) + 1
+
+    spec_t = P(None, "time")
+    sync_sharded = jax.shard_map(
+        functools.partial(_sync_stage, cfg=cfg, n_time=n_time),
+        mesh=mesh,
+        in_specs=spec_t,
+        out_specs=(P(), P(None), P()),
+    )
+    region_sharded = jax.shard_map(
+        functools.partial(_region_stage, region_len=region_len),
+        mesh=mesh,
+        in_specs=(spec_t, P()),
+        out_specs=P(None, None),
+    )
+    payload_sharded = jax.shard_map(
+        functools.partial(
+            _payload_stage, cfg=cfg, n_time=n_time, occ_idx=occ_idx
+        ),
+        mesh=mesh,
+        in_specs=(spec_t, P(), P(), P(), P()),
+        out_specs=P(None, None, None),
+    )
+
+    def run(iq: jax.Array) -> ShardedDecodeResult:
+        # ---- stage A ----
+        t_star, starts, synced = sync_sharded(iq)
+        t_star = jnp.where(synced, t_star, jnp.int32(0))
+        sync_index = (jnp.sum(starts) // S).astype(jnp.int32)
+        sync_index = jnp.where(synced, sync_index, jnp.int32(0))
+
+        # ---- stage B ----
+        rstart = sync_index - sym  # window starts one symbol before sync
+        region = region_sharded(iq, rstart)
+        mf = matched_filter.search(region, cfg, joint=joint)
+        G = ls.estimate_channel(region, mf.ac_index, cfg)
+        G_occ = G[occ_idx]
+        if cfg.mode == CommMode.SISO:
+            W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
+            gain = jnp.ones((m_occ,), dtype=jnp.float32)
+        elif cfg.detector == Detector.MMSE:
+            W, gain = mmse_mod.mmse_weights(G_occ, cfg.mmse_noise_var)
+        else:
+            W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+
+        # ---- stage C ----
+        decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
+        pstart = jnp.maximum(rstart + decode_start, 0)
+        out = payload_sharded(iq, pstart, W, gain, G_occ)  # [pid, S, m_occ]
+        rx_sig = jnp.moveaxis(out, 0, 1).reshape(S, cfg.pid_max * m_occ)
+        rx_data = constellation.demodulate(rx_sig, cfg.modulation)
+        return ShardedDecodeResult(
+            synced=synced,
+            sync_index=sync_index,
+            sync_sample=t_star,
+            G=G,
+            decode_start=decode_start,
+            rx_sig=rx_sig,
+            rx_data=rx_data,
+        )
+
+    return jax.jit(run)

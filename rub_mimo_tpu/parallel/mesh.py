@@ -1,0 +1,58 @@
+"""Device mesh setup for the sharded decode pipeline.
+
+The reference has no distributed layer at all (its "comm stack" is one
+pthread mutex + two condvars, mimo/main.cc:84-90).  The TPU-native design
+shards the modem over a 2-axis mesh:
+
+  'time' — time-blocks of the capture (the SP/CP analog; SURVEY §2.6): the
+           S&C metric and payload symbol decode are data-parallel in time
+           with overlap-save halos at shard boundaries.
+  'sc'   — subcarriers (the "model dim"): per-subcarrier MIMO solves and
+           equalization batch-shard over the 2048-carrier axis.
+
+Multi-host: call jax.distributed.initialize() before building the mesh;
+jax.make_mesh lays processes out so 'time' rides ICI within hosts first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_time: Optional[int] = None,
+    num_sc: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('time', 'sc') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if num_time is None:
+        num_time = len(devices) // num_sc
+    need = num_time * num_sc
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {num_time}x{num_sc} needs {need} devices, have {len(devices)}"
+        )
+    devices = devices[:need]
+    return jax.make_mesh((num_time, num_sc), ("time", "sc"),
+                         devices=np.asarray(devices))
+
+
+def shard_capture(iq: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a [streams, T] capture with the time axis sharded.
+
+    Pads T up to a multiple of the time-axis size (zeros — trailing silence
+    is harmless to the decode) so every shard is equal-sized.
+    """
+    import jax.numpy as jnp
+
+    n_time = mesh.shape["time"]
+    T = iq.shape[-1]
+    pad = (-T) % n_time
+    if pad:
+        iq = jnp.pad(iq, ((0, 0), (0, pad)))
+    return jax.device_put(iq, NamedSharding(mesh, P(None, "time")))

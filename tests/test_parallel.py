@@ -1,0 +1,95 @@
+"""Multi-device sharded decode tests on the virtual 8-CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rub_mimo_tpu.config import Detector, tiny_config
+from rub_mimo_tpu.io import simulator
+from rub_mimo_tpu.parallel import decode_sharded, mesh as mesh_mod
+from rub_mimo_tpu.pipeline import rx
+
+
+def _capture(cfg, seed=11, delay=501, snr=35.0):
+    spec = simulator.ChannelSpec(snr_db=snr, delay=delay, seed=seed)
+    return simulator.simulate_capture(cfg, spec)
+
+
+@pytest.mark.parametrize("n_time,n_sc", [(2, 1), (4, 1), (8, 1), (4, 2)])
+def test_sharded_matches_single_device(n_time, n_sc):
+    """The sharded decode must reproduce the single-chip decode exactly
+    (same argmaxes, same demodulated symbols)."""
+    cfg = tiny_config(bit_exact=False)
+    cap, tx_data, _ = _capture(cfg)
+    ref = rx.decode(cap, cfg)
+
+    m = mesh_mod.make_mesh(n_time, n_sc)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+
+    assert bool(got.synced) == bool(ref.synced) == True  # noqa: E712
+    assert int(got.sync_index) == int(ref.sync_index)
+    assert int(got.sync_sample) == int(ref.sync_sample)
+    assert int(got.decode_start) == int(ref.decode_start)
+    np.testing.assert_allclose(
+        np.asarray(got.G), np.asarray(ref.G), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
+
+
+def test_sharded_sync_plateau_spans_shards():
+    """A plateau that straddles a shard boundary must still fire with the
+    correct global run start (the cross-shard prefix-max carry)."""
+    cfg = tiny_config(bit_exact=False)
+    # put the frame so the S0 plateau crosses the boundary of an 8-way split
+    cap, tx_data, _ = _capture(cfg, seed=3, delay=0)
+    T = cap.shape[-1]
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    # choose a delay that places sync_sample near a boundary for n=8
+    m = mesh_mod.make_mesh(8, 1)
+    tloc = -(-T // 8)
+    # shift so the fire sample lands a few samples after a boundary
+    want = int(ref.sync_sample)
+    shift = (tloc - want % tloc) + 3
+    cap2 = jnp.pad(cap, ((0, 0), (shift, 0)))[:, : T + shift]
+    ref2 = rx.decode(cap2, cfg)
+    iq = mesh_mod.shard_capture(cap2, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    assert bool(got.synced)
+    assert int(got.sync_index) == int(ref2.sync_index)
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref2.rx_data)
+    )
+
+
+def test_sharded_no_sync():
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    T = cfg.window_len
+    noise = (rng.standard_normal((2, T)) + 1j * rng.standard_normal((2, T))
+             ).astype(np.complex64) * 0.01
+    m = mesh_mod.make_mesh(4, 1)
+    iq = mesh_mod.shard_capture(jnp.asarray(noise), m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    assert not bool(got.synced)
+
+
+def test_sharded_mmse():
+    cfg = tiny_config(detector=Detector.MMSE, mmse_noise_var=1e-3,
+                      bit_exact=False)
+    cap, tx_data, _ = _capture(cfg, seed=4, delay=130)
+    ref = rx.decode(cap, cfg)
+    m = mesh_mod.make_mesh(4, 2)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
