@@ -1,0 +1,87 @@
+"""Benchmark: end-to-end 2x2 MIMO-OFDM capture decode throughput.
+
+Measures IQ samples/s for the full RX pipeline (Schmidl&Cox sync + matched
+filter + LS channel estimation + ZF detection + demod) at the reference's
+operating point: M=2048 subcarriers, CP=152, 2 streams, 20 access codes,
+1000 payload frames, 32-ary modem (mimo/config.h:65-66,92,104-108) — a
+~4.6M-IQ-sample capture, decoded as one jit-compiled program.
+
+Baseline: the reference runs this radio at 1.0 Msps per channel
+(mimo/config.h:56), i.e. 2.0e6 IQ samples/s aggregate is the real-time bar
+its (serial, per-sample, offline) decoder must meet to keep up with the
+air interface.  vs_baseline = achieved samples/s / 2.0e6.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rub_mimo_tpu.config import ModemConfig
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import report, rx
+
+    cfg = ModemConfig(pid_max=args.frames, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=5000, seed=42)
+    if args.verbose:
+        print(f"devices: {jax.devices()}", file=sys.stderr)
+        print("generating capture...", file=sys.stderr)
+    capture, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    capture = jax.device_put(jnp.asarray(capture))
+    S, T = capture.shape
+
+    dec = rx.make_decoder(cfg)
+    if args.verbose:
+        print(f"capture: {S} x {T} IQ samples; compiling...", file=sys.stderr)
+    t0 = time.perf_counter()
+    result = dec(capture)
+    jax.block_until_ready(result.rx_data)
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        result = dec(capture)
+        jax.block_until_ready(result.rx_data)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    total_samples = S * T
+    sps = total_samples / best
+
+    if args.verbose:
+        rep = report.score(result, tx_data, cfg, decode_seconds=best,
+                           num_samples=T)
+        rep.print()
+        print(f"compile+first run: {compile_s:.2f}s", file=sys.stderr)
+        print(f"times: {[f'{t*1000:.1f}ms' for t in times]}", file=sys.stderr)
+
+    baseline_sps = 2.0e6  # 2 channels x 1.0 Msps (mimo/config.h:56)
+    print(json.dumps({
+        "metric": "mimo2x2_decode_throughput",
+        "value": round(sps, 1),
+        "unit": "IQ samples/s/chip",
+        "vs_baseline": round(sps / baseline_sps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

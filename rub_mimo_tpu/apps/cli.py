@@ -1,0 +1,210 @@
+"""Command-line experiment driver — the successor of mimo/main.cc's CLI.
+
+Mirrors the reference's boost::program_options flags (main.cc:174-250:
+--freq/-f, --rate/-r, --dsp_gain, --tx_gain, --rx_gain, --num_subcarriers,
+--cp_len, --rx_addr, --tx_addr, -v/-q) and replaces the live USRP
+experiment with the three file-replay workflows the TPU framework supports:
+
+  run       synthetic end-to-end experiment (TX -> simulated channel ->
+            decode -> SER report), the stand-in for the over-the-air run
+  decode    decode a recorded capture directory (rx{n}.dat files)
+  transmit  generate a TX baseband signal + ground-truth files
+
+plus `bench`-style repeat runs via --repeat (run_exe.sh's loop,
+mimo/apps/run_exe.sh:1-6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="rub-mimo-tpu", description="TPU-native MIMO-OFDM modem"
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    def add_common(p):
+        # reference CLI flags (main.cc:174-250)
+        p.add_argument("-f", "--freq", type=float, default=2450e6,
+                       help="RF center frequency in Hz")
+        p.add_argument("-r", "--rate", type=float, default=1.0e6,
+                       help="Sampling rate")
+        p.add_argument("--dsp_gain", type=float, default=0.25,
+                       help="TX DSP (baseband) gain")
+        p.add_argument("--tx_gain", type=float, default=67.0)
+        p.add_argument("--rx_gain", type=float, default=45.0)
+        p.add_argument("--num_subcarriers", type=int, default=2048)
+        p.add_argument("--cp_len", type=int, default=152)
+        p.add_argument("--num_streams", type=int, default=2)
+        p.add_argument("--num_access_codes", type=int, default=20)
+        p.add_argument("--frames", type=int, default=1000,
+                       help="payload OFDM symbols (PID_MAX)")
+        p.add_argument("--modulation", default="arb32opt",
+                       choices=["bpsk", "qpsk", "qam16", "qam64", "arb32opt"])
+        p.add_argument("--detector", default="zf", choices=["zf", "mmse"])
+        p.add_argument("--mode", default="rx_zf",
+                       choices=["siso", "rx_zf"])
+        p.add_argument("--bit-exact", action="store_true",
+                       help="replicate the reference's estimator quirks")
+        p.add_argument("--correct-cfo", action="store_true")
+        p.add_argument("--config", type=Path, default=None,
+                       help="load a ModemConfig JSON (overrides flags)")
+        p.add_argument("-v", "--verbose", action="store_true")
+        p.add_argument("-q", "--quiet", action="store_true")
+        p.add_argument("--cpu", action="store_true", help="force CPU backend")
+        p.add_argument("--log-dir", type=Path, default=None,
+                       help="dump the reference's artifact files here")
+        p.add_argument("--json", action="store_true",
+                       help="print the structured JSON report")
+
+    p_run = sub.add_parser("run", help="synthetic end-to-end experiment")
+    add_common(p_run)
+    p_run.add_argument("--snr", type=float, default=30.0)
+    p_run.add_argument("--delay", type=int, default=5000)
+    p_run.add_argument("--taps", type=int, default=1,
+                       help=">1 for a frequency-selective channel")
+    p_run.add_argument("--cfo", type=float, default=0.0,
+                       help="channel CFO in subcarrier units")
+    p_run.add_argument("--seed", type=int, default=42)
+    p_run.add_argument("--repeat", type=int, default=1,
+                       help="repeat the experiment N times (run_exe.sh)")
+
+    p_dec = sub.add_parser("decode", help="decode a recorded capture dir")
+    add_common(p_dec)
+    p_dec.add_argument("capture_dir", type=Path)
+    p_dec.add_argument("--prefix", default="rx")
+    p_dec.add_argument("--tx-data", type=Path, default=None,
+                       help="optional tx_data files dir for scoring")
+
+    p_tx = sub.add_parser("transmit", help="generate a TX baseband signal")
+    add_common(p_tx)
+    p_tx.add_argument("out_dir", type=Path)
+    p_tx.add_argument("--seed", type=int, default=0)
+    return ap
+
+
+def _config_from_args(args):
+    from rub_mimo_tpu.config import CommMode, Detector, ModemConfig, Modulation
+
+    if args.config:
+        return ModemConfig.from_json(args.config.read_text())
+    return ModemConfig(
+        num_subcarriers=args.num_subcarriers,
+        cp_len=args.cp_len,
+        num_streams=args.num_streams,
+        num_access_codes=args.num_access_codes,
+        pid_max=args.frames,
+        modulation=Modulation(args.modulation),
+        detector=Detector(args.detector),
+        mode=CommMode.SISO if args.mode == "siso" else CommMode.RX_ZF,
+        bit_exact=args.bit_exact,
+        correct_cfo=args.correct_cfo,
+        center_frequency=args.freq,
+        sample_rate=args.rate,
+        baseband_gain=args.dsp_gain,
+        tx_gain=args.tx_gain,
+        rx_gain=args.rx_gain,
+    )
+
+
+def _decode_and_report(cfg, capture, tx_data, args):
+    import jax
+    import jax.numpy as jnp
+
+    from rub_mimo_tpu.pipeline import artifacts, report, rx
+
+    keep_debug = args.log_dir is not None
+    dec = rx.make_decoder(cfg, keep_debug=keep_debug)
+    capture = jnp.asarray(capture)
+    result = dec(capture)
+    jax.block_until_ready(result.rx_data)
+    t0 = time.perf_counter()
+    result = dec(capture)
+    jax.block_until_ready(result.rx_data)
+    dt = time.perf_counter() - t0
+
+    if tx_data is not None:
+        rep = report.score(result, tx_data, cfg, decode_seconds=dt,
+                           num_samples=capture.shape[-1])
+    else:
+        rep = None
+    if args.log_dir is not None:
+        artifacts.dump(args.log_dir, cfg, result,
+                       iq=np.asarray(capture), tx_data=tx_data)
+    if rep is not None:
+        if args.json:
+            print(rep.to_json())
+        elif not args.quiet:
+            rep.print()
+    else:
+        print(f"    synced                  : {bool(result.synced)}")
+        print(f"    sync index              : {int(result.sync_index)}")
+        print(f"    decode time             : {dt:.4f}s")
+    return result, rep
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from rub_mimo_tpu.io import capture as capio
+    from rub_mimo_tpu.io import simulator
+
+    cfg = _config_from_args(args)
+
+    if args.command == "run":
+        spec = simulator.ChannelSpec(
+            snr_db=args.snr, delay=args.delay,
+            flat=args.taps <= 1, num_taps=args.taps,
+            cfo_subcarriers=args.cfo, seed=args.seed,
+        )
+        for i in range(args.repeat):
+            sp = simulator.ChannelSpec(
+                **{**spec.__dict__, "seed": spec.seed + i}
+            )
+            cap, tx_data, _ = simulator.simulate_capture(cfg, sp)
+            _decode_and_report(cfg, cap, tx_data, args)
+    elif args.command == "decode":
+        cap = capio.read_capture(args.capture_dir, cfg.num_streams,
+                                 prefix=args.prefix)
+        tx_data = None
+        if args.tx_data is not None:
+            tx_data = np.stack([
+                capio.read_data(args.tx_data / f"tx_data{s + 1}.dat")
+                for s in range(cfg.num_streams)
+            ]).astype(np.int32)
+        _decode_and_report(cfg, cap, tx_data, args)
+    elif args.command == "transmit":
+        import jax.numpy as jnp
+
+        from rub_mimo_tpu.io.capture import CaptureManifest
+        from rub_mimo_tpu.ofdm import framegen
+
+        tx_data = framegen.generate_payload_symbols(cfg, seed=args.seed)
+        sig = np.asarray(framegen.transmit_frame(cfg, jnp.asarray(tx_data)))
+        args.out_dir.mkdir(parents=True, exist_ok=True)
+        capio.write_capture(args.out_dir, sig, prefix="tx")
+        for s in range(cfg.num_streams):
+            capio.write_data(args.out_dir / f"tx_data{s + 1}.dat", tx_data[s])
+        CaptureManifest(
+            config=cfg, num_samples=sig.shape[-1], prefix="tx",
+            description="synthetic TX baseband",
+        ).save(args.out_dir / "manifest.json")
+        if not args.quiet:
+            print(f"wrote {sig.shape} to {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

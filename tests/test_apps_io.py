@@ -1,0 +1,144 @@
+"""Tests for capture IO, manifests, artifacts, CLI, analysis, presets."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rub_mimo_tpu.config import CommMode, ModemConfig, Modulation, tiny_config
+from rub_mimo_tpu.io import capture as capio
+from rub_mimo_tpu.io import simulator
+from rub_mimo_tpu.models import presets
+from rub_mimo_tpu.pipeline import artifacts, report, rx
+from rub_mimo_tpu.apps import analyze
+
+
+def test_iq_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 100)) + 1j * rng.standard_normal((2, 100))).astype(
+        np.complex64
+    )
+    capio.write_capture(tmp_path, x, prefix="rx")
+    y = capio.read_capture(tmp_path, 2, prefix="rx")
+    np.testing.assert_array_equal(x, y)
+
+
+def test_data_roundtrip(tmp_path):
+    d = np.arange(50, dtype=np.uint32)
+    capio.write_data(tmp_path / "tx_data1.dat", d)
+    np.testing.assert_array_equal(capio.read_data(tmp_path / "tx_data1.dat"), d)
+
+
+def test_manifest_roundtrip(tmp_path):
+    cfg = tiny_config()
+    m = capio.CaptureManifest(
+        config=cfg, num_samples=1234, prefix="rx",
+        description="test", device={"type": "b200", "serial": "308F965"},
+    )
+    m.save(tmp_path / "manifest.json")
+    m2 = capio.CaptureManifest.load(tmp_path / "manifest.json")
+    assert m2.config == cfg
+    assert m2.num_samples == 1234
+    assert m2.device["serial"] == "308F965"
+
+
+def test_validate_capture():
+    good = np.ones((2, 100), dtype=np.complex64)
+    checks = capio.validate_capture(good, min_len=50)
+    assert all(checks.values())
+    bad = good.copy()
+    bad[0, 0] = np.nan
+    assert not capio.validate_capture(bad)["finite"]
+    assert not capio.validate_capture(np.zeros((2, 10), np.complex64))["nonzero"]
+    assert not capio.validate_capture(good, min_len=200)["long_enough"]
+
+
+def test_artifacts_and_analyze(tmp_path):
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=200, seed=8)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg, keep_debug=True)
+    artifacts.dump(tmp_path, cfg, result, iq=np.asarray(cap), tx_data=tx_data)
+
+    # all reference artifact files present
+    for s in (1, 2):
+        for name in (f"rx{s}.dat", f"rx_sig{s}.dat", f"rx_data{s}.dat",
+                     f"tx_data{s}.dat", f"f_sc_{s}.dat", f"corr_{s}_0.dat"):
+            assert (tmp_path / name).exists(), name
+
+    art = analyze.load(tmp_path, cfg.num_streams)
+    stats = analyze.analyze(art, cfg.M_occupied)
+    assert stats["ser"].shape == (2,)
+    assert stats["error_by_carrier"].shape == (2, cfg.M_occupied)
+    # SER from analyze matches report.score
+    rep = report.score(result, tx_data, cfg)
+    np.testing.assert_allclose(
+        stats["ser"] * 100, rep.symbol_error_rate, atol=1e-6
+    )
+
+
+def test_plot_run(tmp_path):
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=200, seed=8)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg, keep_debug=True)
+    artifacts.dump(tmp_path, cfg, result, iq=np.asarray(cap), tx_data=tx_data)
+    out = tmp_path / "fig.png"
+    analyze.plot_run(tmp_path, cfg, out_path=out)
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_cli_run_and_decode(tmp_path):
+    from rub_mimo_tpu.apps import cli
+
+    # synthetic run with tiny dims, JSON report
+    rc = cli.main([
+        "run", "--cpu", "--num_subcarriers", "64", "--cp_len", "16",
+        "--num_access_codes", "4", "--frames", "8",
+        "--modulation", "qpsk", "--snr", "35", "--delay", "300",
+        "--json", "--log-dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "logs" / "rx_sig1.dat").exists()
+
+
+def test_cli_transmit_then_decode_capture(tmp_path):
+    from rub_mimo_tpu.apps import cli
+
+    common = ["--cpu", "--num_subcarriers", "64", "--cp_len", "16",
+              "--num_access_codes", "4", "--frames", "8",
+              "--modulation", "qpsk"]
+    rc = cli.main(["transmit", *common, str(tmp_path), "-q"])
+    assert rc == 0
+    assert (tmp_path / "tx1.dat").exists()
+    assert (tmp_path / "manifest.json").exists()
+    # loop the TX capture back through decode (identity channel won't sync
+    # a 2x2 frame; just check the command runs and reports)
+    rc = cli.main(["decode", *common, str(tmp_path), "--prefix", "tx",
+                   "--tx-data", str(tmp_path)])
+    assert rc == 0
+
+
+@pytest.mark.parametrize("name", list(presets.PRESETS))
+def test_presets_construct(name):
+    cfg, spec = presets.get(name)
+    assert cfg.num_streams >= 1
+    assert spec.snr_db > 0
+
+
+def test_preset_siso_loopback_e2e():
+    """Config 1 as a preset, shrunk: true 1x1 loopback through AWGN."""
+    cfg, spec = presets.siso_loopback(
+        num_subcarriers=64, cp_len=16, num_access_codes=4, pid_max=8
+    )
+    import dataclasses
+
+    spec = dataclasses.replace(spec, delay=257)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    rep = report.score(result, tx_data, cfg)
+    assert rep.synced
+    assert rep.symbol_error_rate[0] < 2.0
