@@ -120,6 +120,7 @@ def _decode_and_report(cfg, capture, tx_data, args):
     import jax.numpy as jnp
 
     from rub_mimo_tpu.pipeline import artifacts, report, rx
+    from rub_mimo_tpu.utils.transfer import to_host
 
     keep_debug = args.log_dir is not None
     dec = rx.make_decoder(cfg, keep_debug=keep_debug)
@@ -138,15 +139,15 @@ def _decode_and_report(cfg, capture, tx_data, args):
         rep = None
     if args.log_dir is not None:
         artifacts.dump(args.log_dir, cfg, result,
-                       iq=np.asarray(capture), tx_data=tx_data)
+                       iq=to_host(capture), tx_data=tx_data)
     if rep is not None:
         if args.json:
             print(rep.to_json())
         elif not args.quiet:
             rep.print()
     else:
-        print(f"    synced                  : {bool(result.synced)}")
-        print(f"    sync index              : {int(result.sync_index)}")
+        print(f"    synced                  : {bool(to_host(result.synced))}")
+        print(f"    sync index              : {int(to_host(result.sync_index))}")
         print(f"    decode time             : {dt:.4f}s")
     return result, rep
 

@@ -20,6 +20,7 @@ import numpy as np
 from rub_mimo_tpu.config import ModemConfig
 from rub_mimo_tpu.io import capture as capio
 from rub_mimo_tpu.pipeline.rx import DecodeResult
+from rub_mimo_tpu.utils.transfer import to_host
 
 
 def dump(
@@ -44,21 +45,21 @@ def dump(
         for s in range(S):
             capio.write_iq(d / f"tx_sig{s + 1}.dat", np.asarray(tx_sig)[s])
 
-    rx_sig = np.asarray(result.rx_sig)
-    rx_data = np.asarray(result.rx_data)
+    rx_sig = to_host(result.rx_sig)
+    rx_data = to_host(result.rx_data)
     for s in range(S):
         capio.write_iq(d / f"rx_sig{s + 1}.dat", rx_sig[s])
         capio.write_data(d / f"rx_data{s + 1}.dat", rx_data[s])
 
     if result.metric is not None:
-        m = np.asarray(result.metric)
+        m = to_host(result.metric)
         for s in range(S):
             capio.write_metric(d / f"f_sc_{s + 1}.dat", m[s])
 
     if result.mf_traces is not None:
         # traces: [streams, 1 + codes*streams, symbol_len]; the reference
         # numbers S0 as ac suffix 0 and access codes 1..codes*streams
-        tr = np.asarray(result.mf_traces)
+        tr = to_host(result.mf_traces)
         for s in range(S):
             for q in range(tr.shape[1]):
                 capio.write_metric(d / f"corr_{s + 1}_{q}.dat", tr[s, q])
