@@ -68,11 +68,14 @@ def main():
     sps = total_samples / best
 
     if args.verbose:
-        rep = report.score(result, tx_data, cfg, decode_seconds=best,
-                           num_samples=T)
-        rep.print()
         print(f"compile+first run: {compile_s:.2f}s", file=sys.stderr)
         print(f"times: {[f'{t*1000:.1f}ms' for t in times]}", file=sys.stderr)
+        try:
+            rep = report.score(result, tx_data, cfg, decode_seconds=best,
+                               num_samples=T)
+            rep.print()
+        except Exception as e:  # host transfer quirks must not kill the bench
+            print(f"scoring skipped: {e}", file=sys.stderr)
 
     baseline_sps = 2.0e6  # 2 channels x 1.0 Msps (mimo/config.h:56)
     print(json.dumps({

@@ -123,7 +123,14 @@ def simulate_capture(
 
     if tx_data is None:
         tx_data = framegen.generate_payload_symbols(cfg, seed=payload_seed)
-    tx = framegen.transmit_frame(cfg, jnp.asarray(tx_data))
     h = draw_channel(spec, cfg.num_streams, cfg.num_streams)
-    capture = apply_channel(tx, h, spec, cfg)
+
+    # one jitted program for the whole TX+channel chain: some TPU
+    # attachment paths cannot execute complex64 ops eagerly (see
+    # utils.transfer), and jit is faster anyway
+    def _gen(td):
+        tx = framegen.transmit_frame(cfg, td)
+        return apply_channel(tx, jnp.asarray(h), spec, cfg)
+
+    capture = jax.jit(_gen)(jnp.asarray(tx_data))
     return capture, tx_data, h

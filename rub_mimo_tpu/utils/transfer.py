@@ -1,17 +1,48 @@
 """Device-to-host transfer shims.
 
-Some TPU attachment paths only implement host transfers for float32/int32
-arrays (complex64, bool, and 0-d scalars fail with UNIMPLEMENTED).  These
-helpers reshape/bitcast on DEVICE into transfer-safe dtypes and reassemble
-on host, so the pipeline's results (complex symbol streams, bool flags,
-scalar indices) can always be fetched.
+Some TPU attachment paths (tunneled single-chip PJRT) only implement
+device->host transfers and op-by-op execution for real f32/i32 arrays:
+complex64 transfers and eager complex ops fail with UNIMPLEMENTED, while
+complex math INSIDE jit-compiled programs works fine.  These helpers fetch
+arbitrary arrays by running a tiny jitted conversion on device (complex ->
+stacked real/imag float32, bool/wide ints -> int32) and reassembling on
+host.  On normal backends the fast path is a plain np.asarray.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _splitter():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def split(x):
+        return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+
+    return split
+
+
+@functools.lru_cache(maxsize=None)
+def _to_i32():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda x: x.astype(jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _to_f32():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda x: x.astype(jnp.float32))
 
 
 def to_host(x: Any) -> np.ndarray:
@@ -24,23 +55,15 @@ def to_host(x: Any) -> np.ndarray:
         return np.asarray(x)
     except Exception:
         pass
-    arr = x
-    shape = arr.shape
-    if arr.ndim == 0:
-        arr = arr.reshape(1)
-    dt = arr.dtype
-    if dt == jnp.complex64 or dt == jnp.complex128:
-        re = np.asarray(jnp.real(arr).astype(jnp.float32).reshape(-1, 1))
-        im = np.asarray(jnp.imag(arr).astype(jnp.float32).reshape(-1, 1))
-        out = (re[:, 0] + 1j * im[:, 0]).astype(np.complex64)
-        return out.reshape(shape)
+    dt = x.dtype
+    if dt in (jnp.complex64, jnp.complex128):
+        re, im = _splitter()(x)
+        return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
     if dt == jnp.bool_:
-        out = np.asarray(arr.astype(jnp.int32)).astype(bool)
-        return out.reshape(shape)
-    out = np.asarray(arr.astype(jnp.float32) if dt in (jnp.float64,)
-                     else arr.astype(jnp.int32) if dt in (jnp.int64, jnp.uint32, jnp.int8, jnp.uint8, jnp.int16, jnp.uint16)
-                     else arr)
-    return out.reshape(shape)
+        return np.asarray(_to_i32()(x)).astype(bool)
+    if np.issubdtype(np.dtype(dt), np.integer):
+        return np.asarray(_to_i32()(x))
+    return np.asarray(_to_f32()(x))
 
 
 def fetch_tree(tree: Any) -> Any:
