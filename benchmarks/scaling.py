@@ -1,0 +1,91 @@
+"""Scaling-efficiency benchmark: sharded decode throughput vs mesh size.
+
+Measures the time-sharded decode (parallel.decode_sharded) at 1, 2, ... N
+devices and reports samples/s + efficiency vs the single-device run — the
+harness for the BASELINE target of >=80% samples/s scaling efficiency
+from 1 chip to 2 hosts.  On a multi-chip TPU slice this produces the real
+number; with a single chip it can still exercise the collective program
+on the virtual CPU mesh (--cpu N).
+
+Usage:
+  python benchmarks/scaling.py                # real devices
+  python benchmarks/scaling.py --cpu 8        # virtual 8-CPU mesh
+  python benchmarks/scaling.py --frames 1000  # full-size capture
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force N virtual CPU devices")
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}"
+        ).strip()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from rub_mimo_tpu.config import ModemConfig
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.parallel import decode_sharded, mesh as mesh_mod
+
+    n_dev = len(jax.devices())
+    cfg = ModemConfig(pid_max=args.frames, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=5000, seed=42)
+    cap, _, _ = simulator.simulate_capture(cfg, spec)
+    cap = jnp.asarray(cap)
+    S, T = cap.shape
+
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
+    results = {}
+    base_sps = None
+    for n in sizes:
+        mesh = mesh_mod.make_mesh(n, 1)
+        iq = mesh_mod.shard_capture(cap, mesh)
+        dec = decode_sharded.build_sharded_decoder(cfg, mesh, iq.shape[-1])
+        out = dec(iq)
+        jax.block_until_ready(out.rx_data)
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = dec(iq)
+            jax.block_until_ready(out.rx_data)
+            best = min(best, time.perf_counter() - t0)
+        sps = S * T / best
+        if base_sps is None:
+            base_sps = sps
+        eff = sps / (base_sps * n)
+        results[n] = {"seconds": best, "samples_per_second": sps,
+                      "efficiency_vs_linear": eff}
+        if not args.json:
+            print(f"  n={n:<3d} {best * 1e3:9.3f} ms   {sps:.3e} samples/s"
+                  f"   eff {eff * 100:6.1f}%")
+    if args.json:
+        print(json.dumps({"devices": n_dev, "capture": [S, T],
+                          "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

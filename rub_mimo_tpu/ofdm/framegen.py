@@ -52,10 +52,15 @@ def write_sync_words(cfg: ModemConfig) -> np.ndarray:
     return out
 
 
-def assemble_payload(cfg: ModemConfig, payload: jax.Array) -> jax.Array:
+def assemble_payload(
+    cfg: ModemConfig, payload: jax.Array, precoder: jax.Array | None = None
+) -> jax.Array:
     """Map payload constellation points into OFDM symbols with CP.
 
     payload: [num_streams, num_symbols, M_occupied] complex
+    precoder: optional [M_occupied, tx_antenna, stream] per-subcarrier
+        precoding matrix (detect.precode) — the working version of the
+        reference's dead fg.set_W path (main.cc:498-505)
     returns: [num_streams, num_symbols * symbol_len] complex64 time signal
 
     Per symbol (framing.cc:210-235): occupied subcarriers get payload values
@@ -66,8 +71,14 @@ def assemble_payload(cfg: ModemConfig, payload: jax.Array) -> jax.Array:
     occ = jnp.asarray(sctype.occupied_indices(p))
     S, n_sym, m_occ = payload.shape
     M = cfg.M
+    payload = payload.astype(jnp.complex64)
+    if precoder is not None:
+        # antenna a transmits sum_k P[sc, a, k] * stream_k[sc]
+        payload = jnp.einsum(
+            "sak,kns->ans", precoder.astype(jnp.complex64), payload
+        )
     X = jnp.zeros((S, n_sym, M), dtype=jnp.complex64)
-    X = X.at[:, :, occ].set(payload.astype(jnp.complex64))
+    X = X.at[:, :, occ].set(payload)
     # FFTW_BACKWARD = M * ifft; then * 1/sqrt(M_occupied)
     x = jnp.fft.ifft(X, axis=-1) * (M / np.sqrt(m_occ))
     x = x.astype(jnp.complex64)
@@ -75,12 +86,53 @@ def assemble_payload(cfg: ModemConfig, payload: jax.Array) -> jax.Array:
     return with_cp.reshape(S, n_sym * cfg.symbol_len)
 
 
+def write_sync_words_precoded(cfg: ModemConfig, precoder: jax.Array) -> jax.Array:
+    """Sync-word block with the access codes precoded.
+
+    S0 stays on antenna 0 (S&C sync is precoder-agnostic); each TDMA slot
+    for (code, stream k) transmits P[:, :, k] * S1[k, code] across all
+    antennas, so the receiver's estimator measures the EFFECTIVE channel
+    G @ P and the ordinary ZF detection becomes transparent to precoding —
+    the working closed loop the reference's TX_BEAMFORMING path sketches.
+    """
+    t = preamble.tables(cfg)
+    p = cfg.subcarrier_allocation()
+    occ = jnp.asarray(sctype.occupied_indices(p))
+    S = cfg.num_streams
+    sym = cfg.symbol_len
+    M = cfg.M
+    cp = cfg.cp_len
+    out = jnp.zeros((S, cfg.sync_words_len), dtype=jnp.complex64)
+
+    # S0 on antenna 0
+    s0_t = jnp.zeros((S, M), dtype=jnp.complex64).at[0].set(jnp.asarray(t.s0))
+    blocks = [(0, s0_t)]
+    P = precoder.astype(jnp.complex64)  # [m_occ, a, k]
+    S1 = jnp.asarray(t.S1)  # [k, code, M]
+    for code in range(cfg.num_access_codes):
+        for k in range(S):
+            Xk = jnp.zeros((S, M), dtype=jnp.complex64)
+            vals = P[:, :, k].T * S1[k, code][occ][None, :]  # [a, m_occ]
+            Xk = Xk.at[:, occ].set(vals)
+            # FFTW_BACKWARD (=M*ifft) scaled by 1/sqrt(M) (framing.cc:1228)
+            xt = (jnp.fft.ifft(Xk, axis=-1) * (M / np.sqrt(M))).astype(
+                jnp.complex64
+            )
+            blocks.append((1 + code * S + k, xt))
+
+    for slot, sig_t in blocks:
+        base = slot * sym
+        block = jnp.concatenate([sig_t[:, M - cp :], sig_t], axis=-1)
+        out = jax.lax.dynamic_update_slice(out, block, (0, base))
+    return out
+
+
 def generate_payload_symbols(cfg: ModemConfig, seed: int = 0) -> np.ndarray:
     """Random integer payload like the reference's rand()%ARITY stream
     (main.cc:1235-1238): [num_streams, pid_max * M_occupied] int32."""
     rng = np.random.default_rng(seed)
     n = cfg.pid_max * cfg.M_occupied
-    if cfg.mode.value == "siso":
+    if cfg.mode.value in ("siso", "rx_diversity"):
         data = np.zeros((cfg.num_streams, n), dtype=np.int32)
         data[cfg.siso_tx] = rng.integers(0, cfg.arity, size=n, dtype=np.int32)
     else:
@@ -91,11 +143,17 @@ def generate_payload_symbols(cfg: ModemConfig, seed: int = 0) -> np.ndarray:
 
 
 def transmit_frame(
-    cfg: ModemConfig, tx_data: jax.Array, include_sync: bool = True
+    cfg: ModemConfig,
+    tx_data: jax.Array,
+    include_sync: bool = True,
+    precoder: jax.Array | None = None,
 ) -> jax.Array:
     """Full TX baseband signal for an experiment run.
 
     tx_data: [num_streams, pid_max * M_occupied] integer symbols
+    precoder: optional [M_occupied, antenna, stream] per-subcarrier
+        precoding matrix applied to access codes AND payload (closed-loop
+        TX beamforming; see detect.precode)
     returns: [num_streams, total_len] complex64 at baseband_gain scale
 
     Mirrors the tx_worker send sequence (main.cc:1027-1112): sync words then
@@ -104,7 +162,7 @@ def transmit_frame(
     from rub_mimo_tpu.ofdm import constellation
 
     sig = constellation.modulate(tx_data, cfg.modulation)
-    if cfg.mode.value == "siso":
+    if cfg.mode.value in ("siso", "rx_diversity"):
         # only SISO_TX transmits; the other streams' tx_sig buffers stay
         # zero-filled (main.cc:1213-1219: std::fill then modulate only
         # chan == SISO_TX)
@@ -112,10 +170,13 @@ def transmit_frame(
         mask = mask.at[cfg.siso_tx, 0].set(1.0)
         sig = sig * mask
     sig = sig.reshape(cfg.num_streams, cfg.pid_max, cfg.M_occupied)
-    payload_t = assemble_payload(cfg, sig)
+    payload_t = assemble_payload(cfg, sig, precoder=precoder)
     parts = []
     if include_sync:
-        parts.append(jnp.asarray(write_sync_words(cfg)))
+        if precoder is not None:
+            parts.append(write_sync_words_precoded(cfg, precoder))
+        else:
+            parts.append(jnp.asarray(write_sync_words(cfg)))
     parts.append(payload_t)
     out = jnp.concatenate(parts, axis=-1)
     return (out * cfg.baseband_gain).astype(jnp.complex64)

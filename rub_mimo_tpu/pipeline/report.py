@@ -85,6 +85,8 @@ def score(
 
     if cfg.mode == CommMode.SISO:
         streams = [(cfg.siso_rx, cfg.siso_tx)]
+    elif cfg.mode == CommMode.RX_DIVERSITY:
+        streams = [(cfg.siso_tx, cfg.siso_tx)]  # MRC output lane
     else:
         streams = [(s, s) for s in range(cfg.num_streams)]
 

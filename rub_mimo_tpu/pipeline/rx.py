@@ -110,7 +110,7 @@ def decode(
     G_occ = G[occ_idx]  # [m_occ, rx, tx]
 
     # ---- detector weights ----
-    if cfg.mode == CommMode.SISO:
+    if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY):
         W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
         gain = jnp.ones((m_occ,), dtype=jnp.float32)
     elif cfg.detector == Detector.MMSE:
@@ -137,6 +137,12 @@ def decode(
         eq_one = siso_mod.siso_equalize(Y, G_occ, cfg.siso_rx, cfg.siso_tx)
         eq = jnp.zeros_like(Y)
         eq = eq.at[:, cfg.siso_rx, :].set(eq_one)
+    elif cfg.mode == CommMode.RX_DIVERSITY:
+        from rub_mimo_tpu.detect import diversity
+
+        comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
+        eq = jnp.zeros_like(Y)
+        eq = eq.at[:, cfg.siso_tx, :].set(comb)
     else:
         eq = zf_mod.equalize(Y, W, gain)  # [n_sym, S(out), m_occ]
 

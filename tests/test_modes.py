@@ -1,0 +1,85 @@
+"""Tests for RX diversity (MRC) and closed-loop TX precoding."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rub_mimo_tpu.config import CommMode, Detector, tiny_config
+from rub_mimo_tpu.detect import precode
+from rub_mimo_tpu.io import simulator
+from rub_mimo_tpu.ofdm import framegen, sctype
+from rub_mimo_tpu.pipeline import report, rx
+
+
+def test_rx_diversity_mode():
+    """MODE_RX_DIVERSITY (Interface/types.h:23): one TX stream, MRC over
+    both RX antennas."""
+    cfg = tiny_config(mode=CommMode.RX_DIVERSITY, siso_tx=1, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=20.0, delay=333, seed=12,
+                                 diagonal_dominance=1.0)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    rep = report.score(result, tx_data, cfg)
+    assert rep.synced
+    assert rep.symbol_error_rate[0] < 2.0
+
+
+def test_rx_diversity_beats_siso_at_low_snr():
+    """MRC over two antennas must not do worse than the single-antenna
+    path on the same capture."""
+    base = dict(siso_tx=1, bit_exact=False, plateau_threshold=0.5)
+    spec = simulator.ChannelSpec(snr_db=11.0, delay=333, seed=12,
+                                 diagonal_dominance=1.0)
+    sers = {}
+    for mode in (CommMode.RX_DIVERSITY, CommMode.SISO):
+        cfg = tiny_config(mode=mode, siso_rx=1, **base)
+        cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+        result = rx.decode(cap, cfg)
+        rep = report.score(result, tx_data, cfg)
+        assert rep.synced
+        sers[mode] = rep.symbol_error_rate[0]
+    assert sers[CommMode.RX_DIVERSITY] <= sers[CommMode.SISO] + 0.5
+
+
+def test_precoder_normalization():
+    rng = np.random.default_rng(0)
+    G = (rng.standard_normal((16, 2, 2)) + 1j * rng.standard_normal((16, 2, 2))
+         ).astype(np.complex64)
+    for P in (precode.zf_precoder(jnp.asarray(G)),
+              precode.mmse_precoder(jnp.asarray(G), 1e-2)):
+        P = np.asarray(P)
+        fro2 = np.sum(np.abs(P) ** 2, axis=(-2, -1))
+        np.testing.assert_allclose(fro2, 2.0, rtol=1e-4)
+
+
+def test_closed_loop_precoding_e2e():
+    """The working version of the reference's dead TX_BEAMFORMING path
+    (main.cc:381-790): estimate Ghat from a first exchange, ZF-precode the
+    second transmission, and verify the receiver sees ~identity effective
+    channel and decodes cleanly with its ordinary pipeline."""
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=280, seed=31)
+
+    # round 1: plain exchange -> Ghat
+    cap1, _, h = simulator.simulate_capture(cfg, spec)
+    r1 = rx.decode(cap1, cfg)
+    rep1_sync = bool(r1.synced)
+    assert rep1_sync
+    occ = sctype.occupied_indices(cfg.subcarrier_allocation())
+    G_occ = jnp.asarray(np.asarray(r1.G))[jnp.asarray(occ)]
+
+    # round 2: precoded transmission through the SAME channel
+    P = precode.zf_precoder(G_occ)
+    tx_data = framegen.generate_payload_symbols(cfg, seed=9)
+    tx = framegen.transmit_frame(cfg, jnp.asarray(tx_data), precoder=P)
+    cap2 = simulator.apply_channel(tx, h, spec, cfg)
+    r2 = rx.decode(cap2, cfg)
+    rep2 = report.score(r2, tx_data, cfg)
+    assert rep2.synced
+    assert max(rep2.symbol_error_rate) < 1.0
+
+    # the effective channel the receiver estimated is ~diagonal
+    G2 = np.asarray(r2.G)[occ]
+    diag = np.abs(G2[:, [0, 1], [0, 1]]).mean()
+    off = np.abs(G2[:, [0, 1], [1, 0]]).mean()
+    assert off < 0.25 * diag, f"effective channel not diagonalized: {off} vs {diag}"
