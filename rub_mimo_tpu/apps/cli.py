@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="dump the reference's artifact files here")
         p.add_argument("--json", action="store_true",
                        help="print the structured JSON report")
+        p.add_argument("--profile", action="store_true",
+                       help="print per-stage timings and samples/s")
+        p.add_argument("--trace-dir", type=Path, default=None,
+                       help="write a jax.profiler device trace here")
 
     p_run = sub.add_parser("run", help="synthetic end-to-end experiment")
     add_common(p_run)
@@ -127,6 +131,33 @@ def _decode_and_report(cfg, capture, tx_data, args):
     capture = jnp.asarray(capture)
     result = dec(capture)
     jax.block_until_ready(result.rx_data)
+
+    if getattr(args, "profile", False):
+        from rub_mimo_tpu.sync import schmidl_cox
+        from rub_mimo_tpu.utils.profiling import StageTimer
+
+        n = capture.size
+        timer = StageTimer()
+        timer.time_stage(
+            "sc_metric",
+            jax.jit(lambda x: schmidl_cox.sc_metric(x, cfg.M)[0]),
+            capture, samples=n, iters=3,
+        )
+        timer.time_stage(
+            "sync_full",
+            jax.jit(lambda x: schmidl_cox.synchronize(x, cfg)[:4]),
+            capture, samples=n, iters=3,
+        )
+        timer.time_stage("full_decode", dec, capture, samples=n, iters=3)
+        timer.print()
+
+    trace_dir = getattr(args, "trace_dir", None)
+    if trace_dir is not None:
+        from rub_mimo_tpu.utils.profiling import trace as jtrace
+
+        with jtrace(str(trace_dir)):
+            jax.block_until_ready(dec(capture).rx_data)
+
     t0 = time.perf_counter()
     result = dec(capture)
     jax.block_until_ready(result.rx_data)

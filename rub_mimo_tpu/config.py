@@ -145,6 +145,15 @@ class ModemConfig:
     # bit_exact=True forces "per_code".
     timing_mode: str = "joint"
 
+    # --- RX amplitude compensation ---
+    # The reference's mixed normalization conventions (S1 scaled by
+    # 1/sqrt(M) but payload/RX by 1/sqrt(M_occupied)) leave a systematic
+    # sqrt(M/M_occupied) amplitude on equalized symbols whenever guard
+    # bands/pilots are enabled (harmless for the all-carriers default
+    # where M_occupied == M; breaks QAM hard decisions otherwise).
+    # True multiplies equalized symbols by sqrt(M_occupied/M).
+    normalize_rx_scale: bool = False
+
     # --- RF operating point (mimo/config.h:55-59); informational for the
     #     file-replay pipeline, used by the simulator & manifests ---
     center_frequency: float = 2450e6

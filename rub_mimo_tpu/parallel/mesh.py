@@ -23,6 +23,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: jax.distributed.initialize with explicit or
+    environment-derived (TPU pod metadata) parameters.  Call once per host
+    before building the mesh; jax.devices() then spans all hosts and the
+    'time' axis rides ICI within hosts first, DCN across hosts."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(
     num_time: Optional[int] = None,
     num_sc: int = 1,

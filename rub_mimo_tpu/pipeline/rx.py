@@ -146,6 +146,9 @@ def decode(
     else:
         eq = zf_mod.equalize(Y, W, gain)  # [n_sym, S(out), m_occ]
 
+    if cfg.normalize_rx_scale and m_occ != M:
+        eq = eq * np.float32(np.sqrt(m_occ / M))
+
     # symbol validity: the whole symbol must fall inside the real capture
     # (the reference would simply not have decoded past the buffer)
     win_valid = (T + cfg.symbol_len) - sync.sync_index
