@@ -249,6 +249,31 @@ class ModemConfig:
     def replace(self, **kw) -> "ModemConfig":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "ModemConfig":
+        """Sanity-check parameters (the GUI's form validation,
+        Interface/mainwindow.cpp:246-289, plus the DSP invariants the
+        reference only asserts at runtime).  Returns self for chaining."""
+        if self.num_subcarriers < 8 or (self.num_subcarriers & (self.num_subcarriers - 1)):
+            raise ValueError("num_subcarriers must be a power of two >= 8")
+        if not (0 < self.cp_len < self.num_subcarriers):
+            raise ValueError("cp_len must be in (0, num_subcarriers)")
+        if self.num_streams < 1:
+            raise ValueError("num_streams must be >= 1")
+        if self.num_access_codes < 1:
+            raise ValueError("num_access_codes must be >= 1")
+        if self.pid_max < 1:
+            raise ValueError("pid_max must be >= 1")
+        if not (0 <= self.siso_tx < self.num_streams
+                and 0 <= self.siso_rx < self.num_streams):
+            raise ValueError("siso_tx/siso_rx out of range")
+        if not (0.0 < self.plateau_threshold):
+            raise ValueError("plateau_threshold must be positive")
+        if self.timing_mode not in ("joint", "per_code"):
+            raise ValueError("timing_mode must be 'joint' or 'per_code'")
+        if self.sample_rate <= 0 or self.center_frequency <= 0:
+            raise ValueError("sample_rate/center_frequency must be positive")
+        return self
+
 
 DEFAULT_CONFIG = ModemConfig()
 

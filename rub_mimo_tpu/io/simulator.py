@@ -107,6 +107,39 @@ def apply_channel(
     return (y + noise).astype(jnp.complex64)
 
 
+def inject_fault(
+    capture: np.ndarray,
+    kind: str,
+    *,
+    seed: int = 0,
+    position: float = 0.5,
+    length: int = 256,
+) -> np.ndarray:
+    """Fault injection for recovery testing (SURVEY §5 — the reference has
+    none; bad captures just silently never sync).
+
+    kinds: 'truncate' (cut the capture at `position` fraction),
+           'nan_burst' (length-`length` NaN burst),
+           'dropout'   (length-`length` zero burst),
+           'spike'     (single huge sample).
+    """
+    x = np.array(capture, copy=True)
+    T = x.shape[-1]
+    pos = int(T * position)
+    if kind == "truncate":
+        return x[..., :pos]
+    if kind == "nan_burst":
+        x[..., pos : pos + length] = np.nan
+        return x
+    if kind == "dropout":
+        x[..., pos : pos + length] = 0
+        return x
+    if kind == "spike":
+        x[..., pos] = 1e6
+        return x
+    raise ValueError(f"unknown fault kind {kind!r}")
+
+
 def simulate_capture(
     cfg: ModemConfig,
     spec: ChannelSpec,

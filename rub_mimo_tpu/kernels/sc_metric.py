@@ -35,38 +35,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _cumsum_last(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum along the last axis via a Hillis-Steele shift-add
+    scan (Mosaic has no cumsum primitive): log2(N) full-width adds in VMEM."""
+    n = x.shape[-1]
+    k = 1
+    while k < n:
+        shifted = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (k,), dtype=x.dtype), x[..., : n - k]],
+            axis=-1,
+        )
+        x = x + shifted
+        k *= 2
+    return x
+
+
 def _kernel(prev_r, prev_i, cur_r, cur_i, out_ref, *, M: int, B: int):
     M2 = M // 2
-    # history = last M samples of the previous block
-    hr = prev_r[0, B - M :]
-    hi = prev_i[0, B - M :]
-    xr = jnp.concatenate([hr, cur_r[0, :]])  # [B + M]
-    xi = jnp.concatenate([hi, cur_i[0, :]])
+    # history = last M samples of the previous block; all streams at once
+    # (TPU blocks must span the full sublane dim)
+    xr = jnp.concatenate([prev_r[:, B - M :], cur_r[:, :]], axis=-1)  # [S, B+M]
+    xi = jnp.concatenate([prev_i[:, B - M :], cur_i[:, :]], axis=-1)
 
     # lag-M2 product: prod[k] = conj(x[k - M2]) * x[k], k in [M2, B+M)
-    ar = xr[:-M2]
-    ai = xi[:-M2]
-    br = xr[M2:]
-    bi = xi[M2:]
-    prod_r = ar * br + ai * bi          # [B + M - M2]
+    ar = xr[:, :-M2]
+    ai = xi[:, :-M2]
+    br = xr[:, M2:]
+    bi = xi[:, M2:]
+    prod_r = ar * br + ai * bi          # [S, B + M - M2]
     prod_i = ar * bi - ai * br
 
-    # moving sums via chunk-local cumsum differences (2D for TPU)
-    cr = jnp.cumsum(prod_r.reshape(1, -1), axis=-1)[0]
-    ci = jnp.cumsum(prod_i.reshape(1, -1), axis=-1)[0]
+    # moving sums via chunk-local cumsum differences
+    cr = _cumsum_last(prod_r)
+    ci = _cumsum_last(prod_i)
     # corr at t (global k = t) for outputs k in [M, B+M):
-    #   sum prod[k-M2+1 .. k] = c[k - M2] - c[k - M2 - M2]  in prod coords
-    # prod index p corresponds to k = p + M2, so k in [M, B+M) ->
-    # p_hi = k - M2 in [M2, B+M2), window M2 -> c[p_hi] - c[p_hi - M2]
-    corr_r = cr[M2 : B + M2] - cr[: B]
-    corr_i = ci[M2 : B + M2] - ci[: B]
+    #   sum prod[k-M2+1 .. k] in prod coords p = k - M2:
+    #   c[p] - c[p - M2] for p in [M2, B+M2)
+    corr_r = cr[:, M2 : B + M2] - cr[:, :B]
+    corr_i = ci[:, M2 : B + M2] - ci[:, :B]
 
-    energy_in = xr * xr + xi * xi       # [B + M]
-    ce = jnp.cumsum(energy_in.reshape(1, -1), axis=-1)[0]
-    e = 0.5 * (ce[M : B + M] - ce[:B])
+    energy_in = xr * xr + xi * xi       # [S, B + M]
+    ce = _cumsum_last(energy_in)
+    e = 0.5 * (ce[:, M : B + M] - ce[:, :B])
 
     metric = (corr_r * corr_r + corr_i * corr_i) / (e * e)
-    out_ref[0, :] = metric
+    out_ref[:, :] = metric
 
 
 @functools.partial(jax.jit, static_argnames=("M", "block"))
@@ -85,15 +98,15 @@ def sc_metric_pallas(x: jax.Array, M: int, block: int = 1 << 15) -> jax.Array:
     xr = jnp.pad(xr, ((0, 0), (B, pad)))
     xi = jnp.pad(xi, ((0, 0), (B, pad)))
 
-    prev_spec = pl.BlockSpec((1, B), lambda s, i: (s, i),
+    prev_spec = pl.BlockSpec((S, B), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    cur_spec = pl.BlockSpec((1, B), lambda s, i: (s, i + 1),
+    cur_spec = pl.BlockSpec((S, B), lambda i: (0, i + 1),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, M=M, B=B),
-        grid=(S, nb),
+        grid=(nb,),
         in_specs=[prev_spec, prev_spec, cur_spec, cur_spec],
-        out_specs=pl.BlockSpec((1, B), lambda s, i: (s, i),
+        out_specs=pl.BlockSpec((S, B), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, nb * B), jnp.float32),
     )(xr, xi, xr, xi)

@@ -32,6 +32,7 @@ class ExperimentReport:
     valid_symbols: list            # per stream
     symbol_error_rate: list        # per stream, in percent (reference prints %)
     bit_error_rate: Optional[list] = None
+    evm_percent: Optional[list] = None     # error vector magnitude per stream
     cfo_hat: float = 0.0
     samples_processed: int = 0
     decode_seconds: float = 0.0
@@ -90,7 +91,12 @@ def score(
     else:
         streams = [(s, s) for s in range(cfg.num_streams)]
 
-    valid_counts, sers, bers = [], [], []
+    from rub_mimo_tpu.ofdm import constellation
+
+    table = constellation.table(cfg.modulation)
+    rx_sig = to_host(result.rx_sig) if result.rx_sig is not None else None
+
+    valid_counts, sers, bers, evms = [], [], [], []
     for rx_s, tx_s in streams:
         match = rx_data[rx_s, :n] == tx_data[tx_s, :n]
         good = int(match.sum())
@@ -101,6 +107,14 @@ def score(
                         cfg.modulation.bits_per_symbol)
             / float(n * cfg.modulation.bits_per_symbol)
         )
+        if rx_sig is not None:
+            # EVM vs the transmitted constellation points (% RMS)
+            ideal = table[tx_data[tx_s, :n]]
+            err = rx_sig[rx_s, :n] - ideal
+            evms.append(float(
+                np.sqrt(np.mean(np.abs(err) ** 2)
+                        / np.mean(np.abs(ideal) ** 2)) * 100.0
+            ))
 
     ps = to_host(result.plateau_start).tolist()
     pe = to_host(result.plateau_end).tolist()
@@ -116,6 +130,7 @@ def score(
         valid_symbols=valid_counts,
         symbol_error_rate=sers,
         bit_error_rate=bers,
+        evm_percent=evms or None,
         cfo_hat=float(to_host(result.cfo_hat)),
         samples_processed=num_samples,
         decode_seconds=decode_seconds,

@@ -189,3 +189,20 @@ def make_decoder(cfg: ModemConfig, *, keep_debug: bool = False,
         return decode(iq, cfg, keep_debug=keep_debug, mf_method=mf_method)
 
     return _decode
+
+
+def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):
+    """Decode MANY captures in one device program: vmap over a
+    [batch, streams, T] stack.  The serving path — each capture runs the
+    full sync/estimate/detect pipeline with its own dynamic sync point,
+    and the batch amortizes every kernel launch (the reference processes
+    one experiment per process, serially)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def _decode_batch(iq_batch):
+        return jax.vmap(
+            lambda iq: decode(iq, cfg, keep_debug=False, mf_method=mf_method)
+        )(iq_batch)
+
+    return _decode_batch

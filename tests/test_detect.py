@@ -1,0 +1,119 @@
+"""Unit tests for the detectors: invert vs linalg, MMSE, modes, config."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rub_mimo_tpu.config import CommMode, tiny_config
+from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.detect import precode, zf
+
+
+def _rand_G(n, batch=64, seed=0, cond_boost=2.0):
+    rng = np.random.default_rng(seed)
+    G = (rng.standard_normal((batch, n, n))
+         + 1j * rng.standard_normal((batch, n, n))).astype(np.complex64)
+    for i in range(n):
+        G[:, i, i] *= cond_boost
+    return G
+
+
+def test_invert_2x2_equals_linalg_inverse():
+    """W * gain == G^{-1} (SURVEY §4: 2x2 invert vs jnp.linalg)."""
+    G = _rand_G(2)
+    W, gain = zf.invert(jnp.asarray(G))
+    got = np.asarray(W) * np.asarray(gain)[:, None, None]
+    want = np.linalg.inv(G)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_invert_2x2_adjugate_structure():
+    """W itself is conj(det)*adj(G) (framing.cc:1352-1361)."""
+    G = _rand_G(2, batch=8)
+    W, gain = zf.invert(jnp.asarray(G))
+    W = np.asarray(W)
+    det = G[:, 0, 0] * G[:, 1, 1] - G[:, 0, 1] * G[:, 1, 0]
+    np.testing.assert_allclose(
+        W[:, 0, 0], np.conj(det) * G[:, 1, 1], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        W[:, 0, 1], -np.conj(det) * G[:, 0, 1], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gain), 1.0 / np.abs(det) ** 2, rtol=1e-4
+    )
+
+
+def test_invert_to_unity_variant():
+    """INVERT_TO_UNITY=true path (config.h:103): W == G^{-1}, gain == 1."""
+    G = _rand_G(2, batch=8)
+    W, gain = zf.invert(jnp.asarray(G), invert_to_unity=True)
+    np.testing.assert_allclose(
+        np.asarray(W), np.linalg.inv(G), rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(gain), 1.0)
+
+
+@pytest.mark.parametrize("n", [3, 4])
+def test_invert_nxn(n):
+    G = _rand_G(n, cond_boost=3.0)
+    W, gain = zf.invert(jnp.asarray(G))
+    got = np.asarray(W) * np.asarray(gain)[:, None, None]
+    np.testing.assert_allclose(got, np.linalg.inv(G), rtol=5e-3, atol=5e-4)
+
+
+def test_mmse_limits_to_zf():
+    """sigma^2 -> 0: unbiased MMSE equals the ZF inverse."""
+    G = _rand_G(2)
+    W, _ = mmse_mod.mmse_weights(jnp.asarray(G), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(W), np.linalg.inv(G), rtol=5e-3, atol=1e-3
+    )
+
+
+def test_mmse_unbiased():
+    """diag(W G) == 1 by construction."""
+    G = _rand_G(2, batch=16, seed=3)
+    W, _ = mmse_mod.mmse_weights(jnp.asarray(G), 0.05)
+    D = np.einsum("bij,bjk->bik", np.asarray(W), G)
+    np.testing.assert_allclose(
+        D[:, [0, 1], [0, 1]], 1.0, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_effective_channel_identityish():
+    G = _rand_G(2, batch=16, seed=5)
+    P = precode.zf_precoder(jnp.asarray(G))
+    E = np.asarray(precode.effective_channel(jnp.asarray(G), P))
+    off = np.abs(E[:, [0, 1], [1, 0]])
+    diag = np.abs(E[:, [0, 1], [0, 1]])
+    assert (off < 1e-3 * diag.max()).all()
+
+
+def test_rx_beamforming_mode_is_zf():
+    """MODE_RX_BEAMFORMING (types.h:24) maps to the ZF receive path —
+    the reference's rx_beamforming namespace IS its ZF receiver."""
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import rx
+
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=222, seed=21)
+    cfg_zf = tiny_config(bit_exact=False)
+    cap, _, _ = simulator.simulate_capture(cfg_zf, spec)
+    r1 = rx.decode(cap, cfg_zf)
+    cfg_bf = cfg_zf.replace(mode=CommMode.RX_BEAMFORMING)
+    r2 = rx.decode(cap, cfg_bf)
+    np.testing.assert_array_equal(
+        np.asarray(r1.rx_data), np.asarray(r2.rx_data)
+    )
+
+
+def test_config_validate():
+    tiny_config().validate()
+    with pytest.raises(ValueError):
+        tiny_config(num_subcarriers=100).validate()  # not a power of 2
+    with pytest.raises(ValueError):
+        tiny_config(cp_len=0).validate()
+    with pytest.raises(ValueError):
+        tiny_config(siso_tx=5).validate()
+    with pytest.raises(ValueError):
+        tiny_config(timing_mode="bogus").validate()
