@@ -1,0 +1,383 @@
+"""Streaming (online, chunked) decode with carried state.
+
+The offline pipeline (pipeline.rx) needs the whole capture in memory; this
+module processes IQ in ARRIVING chunks — the live-pipeline analog of the
+reference's rx_worker (which could only log to disk and decode afterwards,
+mimo/main.cc:872-922).  Pairs with io.native.StreamReader so file ingest,
+host->device transfer, and device compute overlap.
+
+Design: a host-side phase machine over jitted, fixed-chunk-size device
+steps; all heavy state stays on device:
+
+  SEEK     s&c metric with an (M-1)-sample carried tail + plateau carry
+           (global last-below-threshold index per stream); fires exactly
+           like the offline plateau scan.
+  COLLECT  fill the estimation-region buffer [S, region_len] (starting one
+           symbol before sync_index) by masked placement of each chunk.
+  (estimate) matched filter + LS + detector weights on the filled region —
+           the same code the offline pipeline uses.
+  PAYLOAD  per chunk, decode every OFDM symbol whose LAST sample arrives
+           in that chunk (unique ownership), reading into a carried
+           (symbol_len-1)-sample tail; emit equalized symbols + indices.
+
+The streamed result is bit-identical to the offline decode of the
+concatenated capture (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
+from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.detect import siso as siso_mod
+from rub_mimo_tpu.detect import zf as zf_mod
+from rub_mimo_tpu.estimate import ls
+from rub_mimo_tpu.ofdm import constellation, sctype
+from rub_mimo_tpu.sync import matched_filter, schmidl_cox
+from rub_mimo_tpu.utils.transfer import to_host
+
+
+class StreamingDecoder:
+    def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16):
+        if cfg.correct_cfo:
+            raise NotImplementedError("streaming decode with CFO correction")
+        cfg.validate()
+        self.cfg = cfg
+        self.C = int(chunk_size)
+        S = cfg.num_streams
+        self.S = S
+        M = cfg.M
+        sym = cfg.symbol_len
+        if self.C < sym:
+            raise ValueError("chunk_size must be >= symbol_len")
+        n_seq = 1 + cfg.num_access_codes * S
+        self.region_len = sym * n_seq + M
+        # backfill depth at the sync transition: the region can start up to
+        # ~(symbol_len + plateau width) before the fire sample, which may
+        # itself be early in the chunk — keep the whole previous chunk plus
+        # margin so the region backfill always has the samples
+        self._recent_len = self.C + sym + 2 * M
+
+        p = cfg.subcarrier_allocation()
+        self._occ = jnp.asarray(sctype.occupied_indices(p))
+        self.m_occ = cfg.M_occupied
+
+        # ---- device state ----
+        self.gpos = 0  # host: global samples consumed
+        self._tail = jnp.zeros((S, M - 1), jnp.complex64)
+        self._recent = jnp.zeros((S, self._recent_len), jnp.complex64)
+        self._last_below = -jnp.ones((S,), jnp.int32)
+        self.phase = "seek"
+        self.synced = False
+        self.sync_index: Optional[int] = None
+        self._region = jnp.zeros((S, self.region_len), jnp.complex64)
+        self.region_start: Optional[int] = None
+        self.W = None
+        self.gain = None
+        self.G = None
+        self.decode_start: Optional[int] = None  # global frame-0 CP start
+        self._ptail = jnp.zeros((S, sym - 1), jnp.complex64)
+        self.frames: dict[int, np.ndarray] = {}  # k -> [S, m_occ] complex64
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------ #
+    def _build_steps(self):
+        cfg = self.cfg
+        S, C, M = self.S, self.C, cfg.M
+        sym = cfg.symbol_len
+        thr = cfg.plateau_threshold
+        cp = cfg.cp_len
+        region_len = self.region_len
+        m_occ = self.m_occ
+        occ = self._occ
+
+        @jax.jit
+        def sync_step(tail, last_below, chunk, gpos):
+            """Returns (tail', last_below', fired, t_star, starts)."""
+            ext = jnp.concatenate([tail, chunk], axis=-1)
+            metric_ext, _ = schmidl_cox.sc_metric(
+                ext, M, block=min(1 << 15, C + M - 1)
+            )
+            metric = metric_ext[:, M - 1 :]  # [S, C]
+            gidx = gpos + jnp.arange(C, dtype=jnp.int32)
+            above = metric > thr
+            masked = jnp.where(above, jnp.int32(-1), gidx[None, :])
+            local_cm = jax.lax.cummax(masked, axis=1)
+            lb = jnp.maximum(local_cm, last_below[:, None])
+            run_start = lb + 1
+            cond = above & ((gidx[None, :] - run_start) > cp)
+            cond_all = jnp.all(cond, axis=0)
+            fired = jnp.any(cond_all)
+            t_loc = jnp.argmax(cond_all).astype(jnp.int32)
+            starts = run_start[:, t_loc]
+            t_star = gidx[t_loc]
+            return (
+                ext[:, -(M - 1):],
+                lb[:, -1],
+                fired.astype(jnp.int32),
+                t_star,
+                starts,
+            )
+
+        @jax.jit
+        def place_step(region, data, data_gpos, region_start):
+            """Add data (global start data_gpos) into the region buffer."""
+            L = data.shape[-1]
+            pad = jnp.pad(data, ((0, 0), (region_len, region_len)))
+            # region[j] covers global region_start + j; we need the slice of
+            # `data` that overlaps -> same pad/clip trick as the sharded path
+            start = jnp.clip(
+                region_start - data_gpos + region_len, 0, L + region_len
+            )
+            part = jax.lax.dynamic_slice(
+                pad, (jnp.int32(0), start.astype(jnp.int32)), (S, region_len)
+            )
+            return region + part
+
+        joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
+
+        @jax.jit
+        def estimate_step(region):
+            mf = matched_filter.search(region, cfg, joint=joint)
+            G = ls.estimate_channel(region, mf.ac_index, cfg)
+            G_occ = G[occ]
+            if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY):
+                W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
+                gain = jnp.ones((m_occ,), dtype=jnp.float32)
+            elif cfg.detector == Detector.MMSE:
+                W, gain = mmse_mod.mmse_weights(G_occ, cfg.mmse_noise_var)
+            else:
+                W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+            dstart = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
+            return G, W, gain, dstart
+
+        nloc = C // sym + 1
+
+        @jax.jit
+        def payload_step(ptail, chunk, W, gain, G, pstart, gpos):
+            """Decode symbols whose last sample is inside this chunk."""
+            ext = jnp.concatenate([ptail, chunk], axis=-1)  # [S, sym-1+C]
+            base = gpos - (sym - 1)
+            # owned: g in [gpos - sym + 1, gpos + C - sym + 1)
+            k0 = -((pstart - base) // sym)
+            k0 = jnp.maximum(k0, 0).astype(jnp.int32)
+            ks = k0 + jnp.arange(nloc, dtype=jnp.int32)
+            gs = pstart + ks * sym
+            rels = gs - base
+            owned = (
+                (gs >= base)
+                & (gs < gpos + C - sym + 1)
+                & (ks < cfg.pid_max)
+            )
+
+            def grab(rel):
+                r = jnp.clip(rel, 0, C - 1)
+                return jax.lax.dynamic_slice(
+                    ext, (jnp.int32(0), r.astype(jnp.int32)), (S, sym)
+                )
+
+            wins = jax.vmap(grab)(rels)  # [nloc, S, sym]
+            X = jnp.fft.fft(wins[:, :, cp:], axis=-1) * np.float32(
+                1.0 / np.sqrt(m_occ)
+            )
+            Y = X[:, :, occ]
+            G_occ = G[occ]
+            if cfg.mode == CommMode.SISO:
+                eq_one = siso_mod.siso_equalize(
+                    Y, G_occ, cfg.siso_rx, cfg.siso_tx
+                )
+                eq = jnp.zeros_like(Y).at[:, cfg.siso_rx, :].set(eq_one)
+            elif cfg.mode == CommMode.RX_DIVERSITY:
+                from rub_mimo_tpu.detect import diversity
+
+                comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
+                eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
+            else:
+                eq = zf_mod.equalize(Y, W, gain)
+            if cfg.normalize_rx_scale and m_occ != M:
+                eq = eq * np.float32(np.sqrt(m_occ / M))
+            return ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32)
+
+        @jax.jit
+        def recent_step(recent, chunk):
+            return jnp.concatenate([recent, chunk], axis=-1)[
+                :, -self._recent_len:
+            ]
+
+        self._sync_step = sync_step
+        self._place_step = place_step
+        self._estimate_step = estimate_step
+        self._payload_step = payload_step
+        self._recent_step = recent_step
+
+    # ------------------------------------------------------------------ #
+    def push(self, chunk) -> List[Tuple[int, np.ndarray]]:
+        """Feed one [S, chunk_size] chunk; returns newly decoded frames as
+        (frame_index, [S, M_occupied] complex64) pairs."""
+        chunk = jnp.asarray(chunk)
+        if chunk.shape != (self.S, self.C):
+            raise ValueError(
+                f"chunk must be [{self.S}, {self.C}], got {chunk.shape}"
+            )
+        cfg = self.cfg
+        emitted: List[Tuple[int, np.ndarray]] = []
+        gpos = self.gpos
+
+        if self.phase == "seek":
+            self._tail, self._last_below, fired, t_star, starts = (
+                self._sync_step(
+                    self._tail, self._last_below, chunk, jnp.int32(gpos)
+                )
+            )
+            self._recent = self._recent_step(self._recent, chunk)
+            if int(to_host(fired)):
+                self.synced = True
+                self.sync_index = int(
+                    int(to_host(jnp.sum(starts))) // cfg.num_streams
+                )
+                self.region_start = self.sync_index - cfg.symbol_len
+                self.phase = "collect"
+                # backfill the region from the recent buffer (which already
+                # includes this chunk)
+                self._region = self._place_step(
+                    self._region,
+                    self._recent,
+                    jnp.int32(gpos + self.C - self._recent_len),
+                    jnp.int32(self.region_start),
+                )
+        elif self.phase == "collect":
+            self._region = self._place_step(
+                self._region, chunk, jnp.int32(gpos),
+                jnp.int32(self.region_start),
+            )
+        elif self.phase == "payload":
+            self._enqueue(chunk, gpos)
+        self.gpos = gpos + self.C
+
+        # region complete? -> estimate, seed the payload queue from the
+        # region buffer, then stream
+        if (
+            self.phase == "collect"
+            and self.gpos >= self.region_start + self.region_len
+        ):
+            self.G, self.W, self.gain, dstart = self._estimate_step(
+                self._region
+            )
+            self.decode_start = self.region_start + int(to_host(dstart))
+            self.phase = "payload"
+            # everything consumed so far lives in the region buffer (and
+            # possibly an overshoot tail of this chunk beyond region_end)
+            region_end = self.region_start + self.region_len
+            self._pq = []          # queued (data, gpos) payload segments
+            self._pq_len = 0
+            self._pt_gpos = self.region_start  # ext base bookkeeping
+            self._enqueue(self._region, self.region_start)
+            overshoot = self.gpos - region_end
+            if overshoot > 0:
+                self._enqueue(chunk[:, self.C - overshoot :], region_end)
+
+        emitted += self._drain()
+        return emitted
+
+    def _enqueue(self, data, data_gpos: int) -> None:
+        self._pq.append((data, int(data_gpos)))
+        self._pq_len += int(data.shape[-1])
+
+    def _drain(self) -> List[Tuple[int, np.ndarray]]:
+        """Consume the payload queue in exact C-sized steps."""
+        if self.phase != "payload":
+            return []
+        out: List[Tuple[int, np.ndarray]] = []
+        while self._pq_len >= self.C:
+            seg = self._dequeue(self.C)
+            out += self._payload_block(seg)
+        return out
+
+    def _dequeue(self, n: int):
+        parts, got = [], 0
+        base_gpos = self._pq[0][1]
+        while got < n:
+            data, gp = self._pq.pop(0)
+            take = min(n - got, data.shape[-1])
+            parts.append(data[:, :take])
+            if take < data.shape[-1]:
+                self._pq.insert(0, (data[:, take:], gp + take))
+            got += take
+        self._pq_len -= n
+        return jnp.concatenate(parts, axis=-1), base_gpos
+
+    def _payload_block(self, seg) -> List[Tuple[int, np.ndarray]]:
+        data, data_gpos = seg
+        self._ptail, eq, ks, owned = self._payload_step(
+            self._ptail, data, self.W, self.gain, self.G,
+            jnp.int32(self.decode_start), jnp.int32(data_gpos),
+        )
+        return self._emit(eq, ks, owned)
+
+    def finalize(self) -> List[Tuple[int, np.ndarray]]:
+        """Flush the remaining queued payload with zero padding (exactly
+        what the offline pipeline's zero-extended replay window does)."""
+        if self.phase != "payload" or self._pq_len == 0:
+            return []
+        pad = self.C - (self._pq_len % self.C)
+        if pad != self.C:
+            last_gpos = self._pq[-1][1] + self._pq[-1][0].shape[-1]
+            self._enqueue(
+                jnp.zeros((self.S, pad), jnp.complex64), last_gpos
+            )
+        return self._drain()
+
+    def _emit(self, eq, ks, owned):
+        ks_h = np.asarray(to_host(ks))
+        owned_h = np.asarray(to_host(owned)).astype(bool)
+        out = []
+        if owned_h.any():
+            eq_h = to_host(eq)
+            for i in np.nonzero(owned_h)[0]:
+                k = int(ks_h[i])
+                if k not in self.frames and k < self.cfg.pid_max:
+                    self.frames[k] = eq_h[i]
+                    out.append((k, eq_h[i]))
+        return out
+
+    # ------------------------------------------------------------------ #
+    def result(self):
+        """Assemble (rx_sig, rx_data) from the emitted frames so far."""
+        cfg = self.cfg
+        rx_sig = np.zeros(
+            (self.S, cfg.pid_max * self.m_occ), np.complex64
+        )
+        for k, f in self.frames.items():
+            rx_sig[:, k * self.m_occ : (k + 1) * self.m_occ] = np.asarray(f)
+        rx_data = np.asarray(
+            to_host(
+                constellation.demodulate(
+                    jnp.asarray(rx_sig), cfg.modulation
+                )
+            )
+        )
+        return rx_sig, rx_data
+
+
+def decode_stream(
+    capture,
+    cfg: ModemConfig,
+    chunk_size: int = 1 << 16,
+):
+    """Convenience: run the streaming decoder over a full capture array,
+    padding the final partial chunk with zeros."""
+    dec = StreamingDecoder(cfg, chunk_size)
+    cap = np.asarray(capture)
+    T = cap.shape[-1]
+    nc = -(-T // chunk_size)
+    padded = np.pad(cap, ((0, 0), (0, nc * chunk_size - T)))
+    for i in range(nc):
+        dec.push(padded[:, i * chunk_size : (i + 1) * chunk_size])
+    return dec

@@ -1,0 +1,124 @@
+"""Streaming decoder vs offline decode: identical results, chunk by chunk."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rub_mimo_tpu.config import CommMode, Detector, tiny_config
+from rub_mimo_tpu.io import simulator
+from rub_mimo_tpu.pipeline import rx, streaming
+
+
+def _capture(cfg, seed=11, delay=501, snr=35.0):
+    spec = simulator.ChannelSpec(snr_db=snr, delay=delay, seed=seed)
+    return simulator.simulate_capture(cfg, spec)
+
+
+@pytest.mark.parametrize("chunk", [128, 256, 1024])
+def test_streaming_matches_offline(chunk):
+    cfg = tiny_config(bit_exact=False)
+    cap, tx_data, _ = _capture(cfg)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=chunk)
+    dec.finalize()
+    assert dec.synced
+    assert dec.sync_index == int(ref.sync_index)
+    assert dec.decode_start == int(ref.sync_index) - cfg.symbol_len + int(
+        ref.decode_start
+    )
+    rx_sig, rx_data = dec.result()
+    # compare the frames the stream actually saw (all of them here)
+    np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+    np.testing.assert_allclose(
+        rx_sig, np.asarray(ref.rx_sig), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_streaming_sync_across_chunk_boundary():
+    """Place the frame so the plateau straddles a chunk boundary."""
+    cfg = tiny_config(bit_exact=False)
+    # chunk 128: delay 501 puts sync around sample ~560 (chunk 4/5 edge);
+    # scan a few delays to cross boundaries
+    for delay in (120, 127, 128, 129, 250):
+        spec = simulator.ChannelSpec(snr_db=35.0, delay=delay, seed=5)
+        cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+        ref = rx.decode(cap, cfg)
+        if not bool(ref.synced):
+            continue
+        dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=128)
+        dec.finalize()
+        assert dec.sync_index == int(ref.sync_index), f"delay {delay}"
+        _, rx_data = dec.result()
+        np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+
+def test_streaming_mmse():
+    cfg = tiny_config(bit_exact=False, detector=Detector.MMSE,
+                      mmse_noise_var=1e-3)
+    cap, tx_data, _ = _capture(cfg, seed=4, delay=130)
+    ref = rx.decode(cap, cfg)
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    _, rx_data = dec.result()
+    np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+
+def test_streaming_emits_incrementally():
+    """Frames must be emitted as their samples arrive, not all at the end."""
+    cfg = tiny_config(bit_exact=False)
+    cap, _, _ = _capture(cfg)
+    cap = np.asarray(cap)
+    C = 256
+    nc = -(-cap.shape[-1] // C)
+    padded = np.pad(cap, ((0, 0), (0, nc * C - cap.shape[-1])))
+    dec = streaming.StreamingDecoder(cfg, chunk_size=C)
+    emit_chunks = []
+    for i in range(nc):
+        out = dec.push(padded[:, i * C : (i + 1) * C])
+        if out:
+            emit_chunks.append((i, [k for k, _ in out]))
+    dec.finalize()
+    # emissions happen across multiple chunks
+    assert len(emit_chunks) >= 2
+    all_ks = sorted(k for _, ks in emit_chunks for k in ks)
+    assert all_ks == list(range(cfg.pid_max))
+
+
+def test_streaming_with_native_reader(tmp_path):
+    """io.native.StreamReader -> StreamingDecoder end-to-end."""
+    from rub_mimo_tpu.io import capture as capio
+    from rub_mimo_tpu.io import native
+
+    cfg = tiny_config(bit_exact=False)
+    cap, tx_data, _ = _capture(cfg)
+    cap = np.asarray(cap)
+    ref = rx.decode(jnp.asarray(cap), cfg)
+    capio.write_capture(tmp_path, cap, prefix="rx")
+
+    C = 512
+    readers = [
+        native.StreamReader(tmp_path / f"rx{s + 1}.dat", block_samples=C)
+        for s in range(cfg.num_streams)
+    ]
+    dec = streaming.StreamingDecoder(cfg, chunk_size=C)
+    while True:
+        blocks = []
+        for r in readers:
+            try:
+                blocks.append(next(r))
+            except StopIteration:
+                blocks.append(np.zeros(0, np.complex64))
+        n = max(len(b) for b in blocks)
+        if n == 0:
+            break
+        chunk = np.zeros((cfg.num_streams, C), np.complex64)
+        for s, b in enumerate(blocks):
+            chunk[s, : len(b)] = b
+        dec.push(chunk)
+    dec.finalize()
+    for r in readers:
+        r.close()
+    _, rx_data = dec.result()
+    np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
