@@ -1,3 +1,3 @@
-from rub_mimo_tpu.detect import mmse, siso, zf
+from rub_mimo_tpu.detect import diversity, mmse, precode, siso, zf
 
-__all__ = ["mmse", "siso", "zf"]
+__all__ = ["diversity", "mmse", "precode", "siso", "zf"]

@@ -1,3 +1,3 @@
-from rub_mimo_tpu.estimate import ls
+from rub_mimo_tpu.estimate import cfo, ls
 
-__all__ = ["ls"]
+__all__ = ["cfo", "ls"]

@@ -1,3 +1,3 @@
-from rub_mimo_tpu.io import capture, simulator
+from rub_mimo_tpu.io import capture, devices, native, simulator
 
-__all__ = ["capture", "simulator"]
+__all__ = ["capture", "devices", "native", "simulator"]

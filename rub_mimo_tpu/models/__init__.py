@@ -1,0 +1,3 @@
+from rub_mimo_tpu.models import presets
+
+__all__ = ["presets"]

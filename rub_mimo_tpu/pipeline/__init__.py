@@ -1,3 +1,3 @@
-from rub_mimo_tpu.pipeline import report, rx
+from rub_mimo_tpu.pipeline import artifacts, checkpoint, report, rx, streaming
 
-__all__ = ["report", "rx"]
+__all__ = ["artifacts", "checkpoint", "report", "rx", "streaming"]

@@ -105,6 +105,20 @@ def decode(
         window, cfg, method=mf_method, joint=joint, keep_traces=keep_debug
     )
 
+    cfo_total = sync.cfo_hat
+    if cfg.correct_cfo:
+        # residual CFO from the access-code peak phase progression
+        # (estimate.cfo); derotate the window and re-run the offset search
+        from rub_mimo_tpu.estimate import cfo as cfo_mod
+
+        eps = cfo_mod.residual_cfo(window, mf.ac_index, cfg)
+        window = schmidl_cox.correct_cfo(window, eps, M)
+        mf = matched_filter.search(
+            window, cfg, method=mf_method, joint=joint,
+            keep_traces=keep_debug,
+        )
+        cfo_total = sync.cfo_hat + eps
+
     # ---- LS channel estimate ----
     G = ls.estimate_channel(window, mf.ac_index, cfg)
     G_occ = G[occ_idx]  # [m_occ, rx, tx]
@@ -164,7 +178,7 @@ def decode(
         sync_sample=sync.sync_sample,
         plateau_start=sync.plateau_start,
         plateau_end=sync.plateau_end,
-        cfo_hat=sync.cfo_hat,
+        cfo_hat=cfo_total,
         G=G,
         W=W,
         normalize_gain=gain,

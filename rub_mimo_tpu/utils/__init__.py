@@ -1,3 +1,3 @@
-from rub_mimo_tpu.utils import movsum
+from rub_mimo_tpu.utils import movsum, profiling, transfer
 
-__all__ = ["movsum"]
+__all__ = ["movsum", "profiling", "transfer"]
