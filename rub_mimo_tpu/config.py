@@ -145,6 +145,21 @@ class ModemConfig:
     # bit_exact=True forces "per_code".
     timing_mode: str = "joint"
 
+    # --- sync fallback (new capability) ---
+    # When the S&C plateau never fires (it cannot below ~16 dB SNR with
+    # the reference's 0.95 threshold), fall back to a normalized S0
+    # matched filter over the capture (sync.xcorr_sync); acquires at the
+    # full M-sample processing gain.  quality must exceed
+    # sync_fallback_threshold.
+    sync_fallback: bool = False
+    sync_fallback_threshold: float = 0.3
+
+    # --- decision-directed common-phase tracking (new capability) ---
+    # Per OFDM symbol: demap, estimate the common phase error against the
+    # decisions, derotate, demap again.  Cleans up residual CFO-induced
+    # phase ramps across long payloads.
+    track_phase: bool = False
+
     # --- RX amplitude compensation ---
     # The reference's mixed normalization conventions (S1 scaled by
     # 1/sqrt(M) but payload/RX by 1/sqrt(M_occupied)) leave a systematic

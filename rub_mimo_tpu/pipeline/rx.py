@@ -93,11 +93,20 @@ def decode(
 
     # ---- sync ----
     sync = schmidl_cox.synchronize(iq, cfg, keep_metric=keep_debug)
+    synced = sync.synced
+    sync_index = sync.sync_index
+    if cfg.sync_fallback:
+        from rub_mimo_tpu.sync import xcorr_sync
+
+        fb = xcorr_sync.s0_xcorr_sync(iq, cfg)
+        use_fb = (~synced) & (fb.quality > cfg.sync_fallback_threshold)
+        synced = synced | use_fb
+        sync_index = jnp.where(use_fb, fb.sync_index, sync_index)
     if cfg.correct_cfo:
         iq = schmidl_cox.correct_cfo(iq, sync.cfo_hat, M)
 
     # ---- replay window ----
-    window = _extract_window(iq, sync.sync_index, cfg)
+    window = _extract_window(iq, sync_index, cfg)
 
     # ---- matched-filter offset search ----
     joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
@@ -163,18 +172,27 @@ def decode(
     if cfg.normalize_rx_scale and m_occ != M:
         eq = eq * np.float32(np.sqrt(m_occ / M))
 
+    if cfg.track_phase:
+        # decision-directed common-phase tracking per (symbol, stream):
+        # demap, estimate the phase against the decisions, derotate
+        d1 = constellation.demodulate(eq, cfg.modulation)
+        ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
+        rot = jnp.sum(eq * jnp.conj(ideal), axis=-1)  # [n_sym, S]
+        phase = jnp.angle(rot)
+        eq = (eq * jnp.exp(-1j * phase)[..., None]).astype(jnp.complex64)
+
     # symbol validity: the whole symbol must fall inside the real capture
     # (the reference would simply not have decoded past the buffer)
-    win_valid = (T + cfg.symbol_len) - sync.sync_index
+    win_valid = (T + cfg.symbol_len) - sync_index
     ends = decode_start + (jnp.arange(n_sym, dtype=jnp.int32) + 1) * cfg.symbol_len
-    symbol_valid = (ends <= win_valid) & sync.synced
+    symbol_valid = (ends <= win_valid) & synced
 
     rx_sig = jnp.moveaxis(eq, 0, 1).reshape(S, n_sym * m_occ)
     rx_data = constellation.demodulate(rx_sig, cfg.modulation)
 
     return DecodeResult(
-        synced=sync.synced,
-        sync_index=sync.sync_index,
+        synced=synced,
+        sync_index=sync_index,
         sync_sample=sync.sync_sample,
         plateau_start=sync.plateau_start,
         plateau_end=sync.plateau_end,
@@ -203,6 +221,47 @@ def make_decoder(cfg: ModemConfig, *, keep_debug: bool = False,
         return decode(iq, cfg, keep_debug=keep_debug, mf_method=mf_method)
 
     return _decode
+
+
+def decode_all(
+    iq: jax.Array,
+    cfg: ModemConfig,
+    *,
+    max_bursts: int = 4,
+    mf_method: str = "xcorr",
+):
+    """Decode MULTIPLE frame bursts from one long capture (continuous
+    operation — the reference handles exactly one burst per process run).
+
+    After each successful decode the consumed region (the replay window
+    plus margin) is zeroed and the same jitted decoder re-runs, acquiring
+    the next burst; stops at max_bursts or the first failed sync.  Bursts
+    must be at least one replay window apart (they are, by construction —
+    the window spans a full burst).  Returns a list of DecodeResults.
+    """
+    from rub_mimo_tpu.utils.transfer import to_host
+
+    dec = make_decoder(cfg, mf_method=mf_method)
+    erase_len = cfg.window_len + cfg.symbol_len
+
+    @jax.jit
+    def erase(x, start):
+        start = jnp.clip(start, 0, x.shape[-1])
+        zeros = jnp.zeros((cfg.num_streams, erase_len), x.dtype)
+        padded = jnp.pad(x, ((0, 0), (0, erase_len)))
+        padded = jax.lax.dynamic_update_slice(
+            padded, zeros, (jnp.int32(0), start.astype(jnp.int32))
+        )
+        return padded[:, : x.shape[-1]]
+
+    results = []
+    for _ in range(max_bursts):
+        r = dec(iq)
+        if not bool(to_host(r.synced)):
+            break
+        results.append(r)
+        iq = erase(iq, r.sync_index - cfg.symbol_len)
+    return results
 
 
 def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):

@@ -1,0 +1,76 @@
+"""S0 cross-correlation sync fallback (low-SNR acquisition).
+
+The reference's plateau detector requires the S&C metric to exceed 0.95
+(mimo/config.h:87), whose theoretical ceiling is (SNR/(1+SNR))^2 — so it
+cannot acquire below roughly 16 dB SNR.  This module adds a data-aided
+fallback: normalized matched filtering of the whole capture against the
+known S0 time template, which keeps acquiring tens of dB lower (the
+processing gain is the full M-sample correlation).
+
+The returned sync_index emulates the plateau semantics: with the S0 body
+starting at peak p, sync_index = p + M - cp_len keeps the replay window
+one symbol ahead of the frame and every access code inside its search
+lane (see pipeline.rx's window derivation).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rub_mimo_tpu.config import ModemConfig
+from rub_mimo_tpu.ofdm import preamble
+from rub_mimo_tpu.utils.movsum import moving_sum
+
+
+class XcorrSyncResult(NamedTuple):
+    peak_index: jax.Array      # int32 — S0 body start estimate
+    sync_index: jax.Array      # int32 — plateau-equivalent sync index
+    quality: jax.Array         # float32 — normalized correlation in [0, 1]
+
+
+def _fft_len(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def s0_xcorr_sync(x: jax.Array, cfg: ModemConfig) -> XcorrSyncResult:
+    """Normalized S0 matched filter over the whole capture.
+
+    x: [streams, T].  Correlations from all rx streams are summed in
+    power (noncoherent combining) so any mixing channel that delivers S0
+    energy to at least one antenna acquires.
+    """
+    t = preamble.tables(cfg)
+    M = cfg.M
+    S, T = x.shape
+    tmpl = jnp.asarray(t.s0_unnormalized)  # ifft_fftw(S0)
+    e_tmpl = jnp.sum(jnp.abs(tmpl) ** 2).astype(jnp.float32)
+
+    L = _fft_len(T + M)
+    Xf = jnp.fft.fft(x, n=L, axis=-1)
+    Tf = jnp.fft.fft(tmpl, n=L)
+    c = jnp.fft.ifft(Xf * jnp.conj(Tf)[None, :], axis=-1)[:, :T]
+    c2 = (jnp.real(c) ** 2 + jnp.imag(c) ** 2).astype(jnp.float32)
+
+    # window energy ending at i + M - 1, aligned to correlation start i
+    e_in = (jnp.real(x) ** 2 + jnp.imag(x) ** 2).astype(jnp.float32)
+    e_win = moving_sum(e_in, M)  # energy of x[i-M+1 .. i]
+    # shift so e_aligned[i] = energy of x[i .. i+M-1]
+    e_aligned = jnp.roll(e_win, -(M - 1), axis=-1)
+    quality_per = c2 / (e_aligned * e_tmpl + 1e-20)
+    # noncoherent sum over rx streams, energy-weighted
+    score = jnp.sum(c2, axis=0) / (
+        jnp.sum(e_aligned, axis=0) * e_tmpl + 1e-20
+    )
+    # exclude the wrap/tail region where the window runs off the capture
+    valid = jnp.arange(T) < (T - M)
+    score = jnp.where(valid, score, 0.0)
+    p = jnp.argmax(score).astype(jnp.int32)
+    return XcorrSyncResult(
+        peak_index=p,
+        sync_index=(p + M - cfg.cp_len).astype(jnp.int32),
+        quality=score[p],
+    )
