@@ -62,16 +62,32 @@ def read_capture(
     directory: str | os.PathLike,
     num_streams: int,
     prefix: str = "rx",
+    wire_format: str = "fc32",
 ) -> np.ndarray:
     """Load per-stream IQ files <prefix>{1..n}.dat into [streams, T].
 
-    Streams are truncated to the shortest file, matching how the reference
-    consumes equal-length per-channel buffers.
+    wire_format: "fc32" (the reference's CPU format, complex64 on disk) or
+    "sc16" (UHD's wire format, interleaved int16 — converted through the
+    native ingest library).  Streams are truncated to the shortest file,
+    matching how the reference consumes equal-length per-channel buffers.
     """
     directory = Path(directory)
-    chans = [
-        read_iq(directory / f"{prefix}{i + 1}.dat") for i in range(num_streams)
-    ]
+    if wire_format == "fc32":
+        chans = [
+            read_iq(directory / f"{prefix}{i + 1}.dat")
+            for i in range(num_streams)
+        ]
+    elif wire_format == "sc16":
+        from rub_mimo_tpu.io import native
+
+        chans = [
+            native.sc16_to_fc32(
+                np.fromfile(directory / f"{prefix}{i + 1}.dat", dtype=np.int16)
+            )
+            for i in range(num_streams)
+        ]
+    else:  # pragma: no cover
+        raise ValueError(f"unknown wire_format {wire_format!r}")
     n = min(len(c) for c in chans)
     return np.stack([c[:n] for c in chans])
 
@@ -80,11 +96,21 @@ def write_capture(
     directory: str | os.PathLike,
     x: np.ndarray,
     prefix: str = "rx",
+    wire_format: str = "fc32",
 ) -> None:
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     for i, chan in enumerate(np.asarray(x)):
-        write_iq(directory / f"{prefix}{i + 1}.dat", chan)
+        if wire_format == "fc32":
+            write_iq(directory / f"{prefix}{i + 1}.dat", chan)
+        elif wire_format == "sc16":
+            from rub_mimo_tpu.io import native
+
+            native.fc32_to_sc16(chan).tofile(
+                directory / f"{prefix}{i + 1}.dat"
+            )
+        else:  # pragma: no cover
+            raise ValueError(f"unknown wire_format {wire_format!r}")
 
 
 @dataclasses.dataclass

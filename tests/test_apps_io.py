@@ -142,3 +142,32 @@ def test_preset_siso_loopback_e2e():
     rep = report.score(result, tx_data, cfg)
     assert rep.synced
     assert rep.symbol_error_rate[0] < 2.0
+
+
+def test_sc16_capture_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    x = (rng.uniform(-0.5, 0.5, (2, 300)) + 1j * rng.uniform(-0.5, 0.5, (2, 300))
+         ).astype(np.complex64)
+    capio.write_capture(tmp_path, x, prefix="rx", wire_format="sc16")
+    y = capio.read_capture(tmp_path, 2, prefix="rx", wire_format="sc16")
+    np.testing.assert_allclose(y, x, atol=2.0 / 32767.0)
+    # sc16 files are half the size of fc32
+    assert (tmp_path / "rx1.dat").stat().st_size == 300 * 4
+
+
+def test_html_report(tmp_path):
+    from rub_mimo_tpu.apps import report_html
+    from rub_mimo_tpu.pipeline import artifacts
+
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=200, seed=8)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg, keep_debug=True)
+    rep = report.score(result, tx_data, cfg)
+    artifacts.dump(tmp_path, cfg, result, iq=np.asarray(cap), tx_data=tx_data)
+    out = report_html.render(tmp_path, cfg, tmp_path / "report.html",
+                             report_json=rep.to_json())
+    text = out.read_text()
+    assert "RX constellation" in text
+    assert "data:image/png;base64," in text
+    assert out.stat().st_size > 50000
