@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--seed", type=int, default=42)
     p_run.add_argument("--repeat", type=int, default=1,
                        help="repeat the experiment N times (run_exe.sh)")
+    p_run.add_argument("--precoded", action="store_true",
+                       help="closed-loop TX beamforming: estimate the "
+                            "channel in a first round, ZF-precode a second "
+                            "transmission through the same channel")
+    p_run.add_argument("--save-checkpoint", type=Path, default=None,
+                       help="persist decode state (sync/Ghat/W/symbols)")
 
     p_dec = sub.add_parser("decode", help="decode a recorded capture dir")
     add_common(p_dec)
@@ -205,8 +211,32 @@ def main(argv=None):
             sp = simulator.ChannelSpec(
                 **{**spec.__dict__, "seed": spec.seed + i}
             )
-            cap, tx_data, _ = simulator.simulate_capture(cfg, sp)
-            _decode_and_report(cfg, cap, tx_data, args)
+            cap, tx_data, h = simulator.simulate_capture(cfg, sp)
+            result, rep = _decode_and_report(cfg, cap, tx_data, args)
+            if args.precoded:
+                import jax.numpy as jnp
+
+                from rub_mimo_tpu.detect import precode
+                from rub_mimo_tpu.ofdm import framegen, sctype
+                from rub_mimo_tpu.utils.transfer import to_host
+
+                occ = sctype.occupied_indices(cfg.subcarrier_allocation())
+                G_occ = jnp.asarray(to_host(result.G))[jnp.asarray(occ)]
+                P = precode.zf_precoder(G_occ)
+                tx2_data = framegen.generate_payload_symbols(
+                    cfg, seed=args.seed + 1000 + i
+                )
+                tx2 = framegen.transmit_frame(
+                    cfg, jnp.asarray(tx2_data), precoder=P
+                )
+                cap2 = simulator.apply_channel(tx2, h, sp, cfg)
+                if not args.quiet:
+                    print("    ---- precoded round ----")
+                _decode_and_report(cfg, cap2, tx2_data, args)
+            if args.save_checkpoint is not None:
+                from rub_mimo_tpu.pipeline import checkpoint
+
+                checkpoint.save(args.save_checkpoint, cfg, result)
     elif args.command == "decode":
         cap = capio.read_capture(args.capture_dir, cfg.num_streams,
                                  prefix=args.prefix)

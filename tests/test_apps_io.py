@@ -171,3 +171,20 @@ def test_html_report(tmp_path):
     assert "RX constellation" in text
     assert "data:image/png;base64," in text
     assert out.stat().st_size > 50000
+
+
+def test_cli_precoded_and_checkpoint(tmp_path):
+    from rub_mimo_tpu.apps import cli
+    from rub_mimo_tpu.pipeline import checkpoint
+
+    ckpt = tmp_path / "run.npz"
+    rc = cli.main([
+        "run", "--cpu", "--num_subcarriers", "64", "--cp_len", "16",
+        "--num_access_codes", "4", "--frames", "8",
+        "--modulation", "qpsk", "--snr", "35", "--delay", "300",
+        "--precoded", "--save-checkpoint", str(ckpt), "-q",
+    ])
+    assert rc == 0
+    assert ckpt.exists()
+    ck = checkpoint.load(ckpt)
+    assert ck.synced
