@@ -16,7 +16,7 @@ import numpy as np
 
 from rub_mimo_tpu.config import CommMode, ModemConfig
 from rub_mimo_tpu.pipeline.rx import DecodeResult
-from rub_mimo_tpu.utils.transfer import to_host
+from rub_mimo_tpu.utils.transfer import fetch_tree, to_host
 
 
 @dataclasses.dataclass
@@ -77,11 +77,12 @@ def score(
     num_samples: int = 0,
 ) -> ExperimentReport:
     """Compare decoded symbols with ground truth (main.cc:1403-1411)."""
-    rx_data = to_host(result.rx_data)
+    result = fetch_tree(result)  # one batched device->host conversion
+    rx_data = np.asarray(result.rx_data)
     tx_data = np.asarray(tx_data)
     m_occ = cfg.M_occupied
     n = cfg.pid_max * m_occ
-    valid_sym = to_host(result.symbol_valid)
+    valid_sym = np.asarray(result.symbol_valid)
     frames = int(valid_sym.sum())
 
     if cfg.mode == CommMode.SISO:
@@ -94,7 +95,7 @@ def score(
     from rub_mimo_tpu.ofdm import constellation
 
     table = constellation.table(cfg.modulation)
-    rx_sig = to_host(result.rx_sig) if result.rx_sig is not None else None
+    rx_sig = np.asarray(result.rx_sig) if result.rx_sig is not None else None
 
     valid_counts, sers, bers, evms = [], [], [], []
     for rx_s, tx_s in streams:
@@ -116,11 +117,11 @@ def score(
                         / np.mean(np.abs(ideal) ** 2)) * 100.0
             ))
 
-    ps = to_host(result.plateau_start).tolist()
-    pe = to_host(result.plateau_end).tolist()
+    ps = np.asarray(result.plateau_start).tolist()
+    pe = np.asarray(result.plateau_end).tolist()
     return ExperimentReport(
-        synced=bool(to_host(result.synced)),
-        sync_index=int(to_host(result.sync_index)),
+        synced=bool(result.synced),
+        sync_index=int(result.sync_index),
         plateau_start=ps,
         plateau_end=pe,
         plateau_width=[int(e - s + 1) for s, e in zip(ps, pe)],
@@ -131,7 +132,7 @@ def score(
         symbol_error_rate=sers,
         bit_error_rate=bers,
         evm_percent=evms or None,
-        cfo_hat=float(to_host(result.cfo_hat)),
+        cfo_hat=float(result.cfo_hat),
         samples_processed=num_samples,
         decode_seconds=decode_seconds,
         samples_per_second=(

@@ -66,10 +66,58 @@ def to_host(x: Any) -> np.ndarray:
     return np.asarray(_to_f32()(x))
 
 
-def fetch_tree(tree: Any) -> Any:
-    """to_host over an arbitrary pytree (e.g. a DecodeResult)."""
+@functools.lru_cache(maxsize=None)
+def _tree_converter():
     import jax
+    import jax.numpy as jnp
 
-    return jax.tree_util.tree_map(
-        lambda v: to_host(v) if hasattr(v, "dtype") else v, tree
-    )
+    @jax.jit
+    def convert(leaves):
+        out = []
+        for v in leaves:
+            dt = v.dtype
+            if dt in (jnp.complex64, jnp.complex128):
+                out.append((jnp.real(v).astype(jnp.float32),
+                            jnp.imag(v).astype(jnp.float32)))
+            elif dt == jnp.bool_ or jnp.issubdtype(dt, jnp.integer):
+                out.append(v.astype(jnp.int32))
+            else:
+                out.append(v.astype(jnp.float32))
+        return out
+
+    return convert
+
+
+def fetch_tree(tree: Any) -> Any:
+    """to_host over an arbitrary pytree (e.g. a DecodeResult) in ONE jitted
+    conversion program — on limited-transfer backends every separate
+    compile is expensive, so all leaves convert together."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx = [i for i, v in enumerate(leaves) if hasattr(v, "dtype")]
+    if not idx:
+        return tree
+    try:
+        converted = _tree_converter()([leaves[i] for i in idx])
+    except Exception:
+        # fall back to per-leaf fetch
+        return jax.tree_util.tree_map(
+            lambda v: to_host(v) if hasattr(v, "dtype") else v, tree
+        )
+    out = list(leaves)
+    for j, i in enumerate(idx):
+        c = converted[j]
+        orig = leaves[i]
+        if isinstance(c, tuple):
+            out[i] = (np.asarray(c[0]) + 1j * np.asarray(c[1])).astype(
+                np.complex64
+            )
+        elif orig.dtype == jnp.bool_:
+            out[i] = np.asarray(c).astype(bool)
+        elif jnp.issubdtype(orig.dtype, jnp.integer):
+            out[i] = np.asarray(c)
+        else:
+            out[i] = np.asarray(c).astype(orig.dtype)
+    return jax.tree_util.tree_unflatten(treedef, out)
