@@ -16,10 +16,11 @@ from rub_mimo_tpu.pipeline import rx
 from tests.reference_serial import SerialFramesync
 
 
-@pytest.fixture(scope="module")
-def pair():
+@pytest.fixture(scope="module", params=[(411, 23), (130, 4), (777, 91)])
+def pair(request):
+    delay, seed = request.param
     cfg = tiny_config(bit_exact=True)  # reference quirks on
-    spec = simulator.ChannelSpec(snr_db=35.0, delay=411, seed=23)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=delay, seed=seed)
     cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
     cap_np = np.asarray(cap)
 
