@@ -87,6 +87,10 @@ def mimo_4x4_wideband(**kw) -> Tuple[ModemConfig, ChannelSpec]:
         detector=Detector.MMSE,
         mmse_noise_var=1e-3,
         bit_exact=False,
+        # with 4 rx streams the all-streams plateau condition gets fragile
+        # (the weakest rx<-tx0 link gates acquisition); keep the S0
+        # matched-filter fallback armed
+        sync_fallback=True,
         **kw,
     )
     spec = ChannelSpec(snr_db=35.0, delay=5000, seed=6,

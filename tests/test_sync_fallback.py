@@ -78,3 +78,34 @@ def test_phase_tracking_fixes_residual_ramp():
     assert rep_on.synced and rep_off.synced
     assert max(rep_on.symbol_error_rate) <= max(rep_off.symbol_error_rate)
     assert max(rep_on.symbol_error_rate) < 2.0
+
+
+def test_fallback_rescues_4x4_weak_coupling():
+    """With 4 rx streams the all-streams plateau is gated by the weakest
+    rx<-tx0 link (S0 transmits on antenna 0 only); a draw with one ~0.08
+    coupling kills plain acquisition and the S0 fallback must rescue it
+    (observed at full scale: seed-7 4x4 fails plain, decodes 0% SER with
+    fallback)."""
+    from rub_mimo_tpu.config import Detector, Modulation
+
+    base = dict(num_streams=4, num_access_codes=3, pid_max=4,
+                modulation=Modulation.QAM16, detector=Detector.MMSE,
+                mmse_noise_var=1e-3, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=210, seed=0,
+                                 diagonal_dominance=3.0)
+    h = simulator.draw_channel(spec, 4, 4)
+    h[3, 0, 0] = 0.02 + 0.01j  # cripple the rx3<-tx0 link
+
+    from rub_mimo_tpu.ofdm import framegen
+    cfg = tiny_config(**base)
+    tx_data = framegen.generate_payload_symbols(cfg, seed=0)
+    tx = framegen.transmit_frame(cfg, jnp.asarray(tx_data))
+    cap = simulator.apply_channel(tx, h, spec, cfg)
+
+    plain = rx.decode(cap, tiny_config(**base))
+    assert not bool(plain.synced)
+
+    r = rx.decode(cap, tiny_config(sync_fallback=True, **base))
+    rep = report.score(r, tx_data, tiny_config(sync_fallback=True, **base))
+    assert rep.synced
+    assert max(rep.symbol_error_rate) < 2.0
