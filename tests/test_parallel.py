@@ -93,3 +93,21 @@ def test_sharded_mmse():
     np.testing.assert_array_equal(
         np.asarray(got.rx_data), np.asarray(ref.rx_data)
     )
+
+
+def test_multihost_demo_script():
+    """True multi-process multihost: 2 OS processes x 2 CPU devices joined
+    via jax.distributed, sharded decode spanning both (gloo collectives);
+    see benchmarks/multihost_demo.py."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parents[1] / "benchmarks" / "multihost_demo.py"
+    env = dict(**__import__("os").environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run(
+        [sys.executable, str(script)], env=env,
+        capture_output=True, text=True, timeout=500,
+    )
+    assert "multihost demo: OK" in out.stdout, out.stdout + out.stderr
