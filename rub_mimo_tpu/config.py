@@ -55,6 +55,7 @@ class Modulation(enum.Enum):
     QPSK = "qpsk"
     QAM16 = "qam16"
     QAM64 = "qam64"
+    QAM256 = "qam256"
     ARB32OPT = "arb32opt"
 
     @property
@@ -65,6 +66,7 @@ class Modulation(enum.Enum):
             Modulation.QAM16: 4,
             Modulation.ARB32OPT: 5,
             Modulation.QAM64: 6,
+            Modulation.QAM256: 8,
         }[self]
 
     @property

@@ -97,6 +97,8 @@ def table(modulation: Modulation) -> np.ndarray:
         t = _square_qam(4)
     elif modulation == Modulation.QAM64:
         t = _square_qam(6)
+    elif modulation == Modulation.QAM256:
+        t = _square_qam(8)
     elif modulation == Modulation.ARB32OPT:
         t = _cross32()
     else:  # pragma: no cover

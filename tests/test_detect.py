@@ -117,3 +117,70 @@ def test_config_validate():
         tiny_config(siso_tx=5).validate()
     with pytest.raises(ValueError):
         tiny_config(timing_mode="bogus").validate()
+
+
+def test_qam256_roundtrip_and_e2e():
+    """QAM-256 (new, beyond the GUI's QAM64 ceiling) end-to-end at high SNR."""
+    import jax.numpy as jnp
+
+    from rub_mimo_tpu.config import Modulation
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.ofdm import constellation
+    from rub_mimo_tpu.pipeline import report, rx
+
+    syms = np.arange(256, dtype=np.int32)
+    pts = constellation.modulate(jnp.asarray(syms), Modulation.QAM256)
+    back = constellation.demodulate(pts, Modulation.QAM256)
+    np.testing.assert_array_equal(np.asarray(back), syms)
+
+    cfg = tiny_config(modulation=Modulation.QAM256, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=45.0, delay=222, seed=21)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    rep = report.score(rx.decode(cap, cfg), tx_data, cfg)
+    assert rep.synced
+    assert max(rep.symbol_error_rate) < 2.0
+
+
+def test_3x3_mimo_e2e():
+    """Odd stream count (3x3): generalized NxN detection + auto-extended
+    polynomial set."""
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import report, rx
+
+    cfg = tiny_config(num_streams=3, num_access_codes=3, pid_max=4,
+                      bit_exact=False, sync_fallback=True)
+    spec = simulator.ChannelSpec(snr_db=40.0, delay=210, seed=6,
+                                 diagonal_dominance=3.0)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    rep = report.score(rx.decode(cap, cfg), tx_data, cfg)
+    assert rep.synced
+    assert max(rep.symbol_error_rate) < 3.0
+
+
+def test_mmse_beats_zf_on_ill_conditioned_channel():
+    """MMSE's regularization must not lose to ZF when the channel is
+    nearly singular (noise blow-up at small |det| subcarriers)."""
+    import jax.numpy as jnp
+
+    from rub_mimo_tpu.config import Detector
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.ofdm import framegen
+    from rub_mimo_tpu.pipeline import report, rx
+
+    spec = simulator.ChannelSpec(snr_db=18.0, delay=300, seed=2)
+    h = simulator.draw_channel(spec, 2, 2)
+    # make the channel nearly rank-1
+    h[1, :, 0] = h[0, :, 0] * 1.05 + 0.1
+    base = dict(bit_exact=False, plateau_threshold=0.5)
+    cfg = tiny_config(**base)
+    tx_data = framegen.generate_payload_symbols(cfg, seed=0)
+    tx = framegen.transmit_frame(cfg, jnp.asarray(tx_data))
+    cap = simulator.apply_channel(tx, h, spec, cfg)
+
+    sers = {}
+    for det, nv in ((Detector.ZF, 0.0), (Detector.MMSE, 3e-2)):
+        c = tiny_config(detector=det, mmse_noise_var=nv or 1e-2, **base)
+        rep = report.score(rx.decode(cap, c), tx_data, c)
+        assert rep.synced
+        sers[det] = max(rep.symbol_error_rate)
+    assert sers[Detector.MMSE] <= sers[Detector.ZF] + 0.1
