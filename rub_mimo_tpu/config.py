@@ -125,6 +125,9 @@ class ModemConfig:
     siso_rx: int = 1            # mimo/config.h:91
     invert_to_unity: bool = False   # mimo/config.h:103
     mmse_noise_var: float = 1e-2    # sigma^2 for the MMSE detector
+    # estimate sigma^2 from the access-code residuals instead of using
+    # mmse_noise_var (estimate.ls.estimate_noise_var) — parameter-free MMSE
+    mmse_auto_noise: bool = False
 
     # --- bit-exact replication quirks ---
     # The reference initializes Ghat to identity and accumulates on top of it

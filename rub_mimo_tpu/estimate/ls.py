@@ -73,3 +73,50 @@ def estimate_channel(
         Gsum = Gsum + eye
     G = Gsum * (dft_normalizer / np.float32(codes))
     return G.astype(jnp.complex64)
+
+
+def estimate_noise_var(
+    window: jax.Array,
+    ac_index: jax.Array,
+    G: jax.Array,
+    cfg: ModemConfig,
+) -> jax.Array:
+    """Data-aided noise variance at the equalizer input (new capability —
+    lets the MMSE detector run parameter-free).
+
+    Model: each access-code symbol's unnormalized FFT satisfies
+    X/S1 ~= Ghat * sqrt(M_occ) + noise_f with noise_f variance M*sigma_t^2
+    (the LS scaling chain, see estimate_channel).  The payload symbols the
+    detector sees are scaled by 1/sqrt(M_occ), so their per-subcarrier
+    noise variance is var(noise_f)/M_occ — which is exactly what this
+    returns: sigma^2 for detect.mmse.mmse_weights.
+
+    The residual also contains channel-estimation error (order 1/codes),
+    which slightly overestimates sigma^2 — a safe direction for MMSE.
+    """
+    S = cfg.num_streams
+    M = cfg.M
+    codes = cfg.num_access_codes
+    t = preamble.tables(cfg)
+    p = cfg.subcarrier_allocation()
+    occ = jnp.asarray(sctype.occupied_mask(p))
+    m_occ = cfg.M_occupied
+
+    offsets = ac_index.reshape(S, codes, S).transpose(1, 0, 2)
+
+    def slice_one(off, rx):
+        return jax.lax.dynamic_slice(window[rx], (off,), (M,))
+
+    flat_off = offsets.reshape(-1)
+    rx_ids = jnp.tile(jnp.repeat(jnp.arange(S, dtype=jnp.int32), S), codes)
+    wins = jax.vmap(slice_one)(flat_off, rx_ids)
+    X = jnp.fft.fft(wins.reshape(codes, S, S, M), axis=-1)
+    S1 = jnp.asarray(t.S1).transpose(1, 0, 2)[:, None, :, :]
+    ratio = X / jnp.where(occ, S1, 1.0)  # [code, rx, tx, M]
+    # expected value per (rx, tx, sc): Ghat * sqrt(M_occ)
+    mean = G.transpose(1, 2, 0)[None, :, :, :] * np.float32(np.sqrt(m_occ))
+    resid2 = jnp.abs(ratio - mean) ** 2
+    var_f = jnp.sum(jnp.where(occ[None, None, None, :], resid2, 0.0)) / (
+        codes * S * S * m_occ
+    )
+    return (var_f / m_occ).astype(jnp.float32)

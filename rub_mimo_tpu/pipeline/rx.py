@@ -137,7 +137,9 @@ def decode(
         W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
         gain = jnp.ones((m_occ,), dtype=jnp.float32)
     elif cfg.detector == Detector.MMSE:
-        W, gain = mmse_mod.mmse_weights(G_occ, cfg.mmse_noise_var)
+        nv = (ls.estimate_noise_var(window, mf.ac_index, G, cfg)
+              if cfg.mmse_auto_noise else cfg.mmse_noise_var)
+        W, gain = mmse_mod.mmse_weights(G_occ, nv)
     else:
         W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
 

@@ -184,3 +184,48 @@ def test_mmse_beats_zf_on_ill_conditioned_channel():
         assert rep.synced
         sers[det] = max(rep.symbol_error_rate)
     assert sers[Detector.MMSE] <= sers[Detector.ZF] + 0.1
+
+
+def test_noise_var_estimate_accurate():
+    """The data-aided sigma^2 estimate must match the injected AWGN level
+    at the equalizer input (within estimation tolerance)."""
+    import jax.numpy as jnp
+
+    from rub_mimo_tpu.estimate import ls
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import rx
+    from rub_mimo_tpu.sync import matched_filter, schmidl_cox
+
+    cfg = tiny_config(bit_exact=False, num_access_codes=8,
+                      plateau_threshold=0.5)
+    snr_db = 20.0
+    spec = simulator.ChannelSpec(snr_db=snr_db, delay=333, seed=7)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    sync = schmidl_cox.synchronize(cap, cfg)
+    window = rx._extract_window(cap, sync.sync_index, cfg)
+    mf = matched_filter.search(window, cfg, joint=True)
+    G = ls.estimate_channel(window, mf.ac_index, cfg)
+    got = float(ls.estimate_noise_var(window, mf.ac_index, G, cfg))
+
+    # injected: noise_var_t = mean|tx|^2 * 10^(-snr/10); at the equalizer
+    # input (1/sqrt(M_occ) FFT scaling) the per-subcarrier variance is
+    # M * sigma_t^2 / M_occ == sigma_t^2 for all-carriers
+    from rub_mimo_tpu.ofdm import framegen
+    tx = framegen.transmit_frame(cfg, jnp.asarray(tx_data))
+    sig_power = float(np.mean(np.abs(np.asarray(tx)) ** 2))
+    want = sig_power * 10.0 ** (-snr_db / 10.0)
+    assert 0.5 * want < got < 2.5 * want, (got, want)
+
+
+def test_mmse_auto_noise_e2e():
+    from rub_mimo_tpu.config import Detector
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import report, rx
+
+    cfg = tiny_config(bit_exact=False, detector=Detector.MMSE,
+                      mmse_auto_noise=True)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=130, seed=4)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    rep = report.score(rx.decode(cap, cfg), tx_data, cfg)
+    assert rep.synced
+    assert max(rep.symbol_error_rate) < 2.0
