@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--frames", type=int, default=1000,
                        help="payload OFDM symbols (PID_MAX)")
         p.add_argument("--modulation", default="arb32opt",
-                       choices=["bpsk", "qpsk", "qam16", "qam64", "arb32opt"])
+                       choices=["bpsk", "qpsk", "qam16", "qam64", "qam256", "arb32opt"])
         p.add_argument("--detector", default="zf", choices=["zf", "mmse"])
         p.add_argument("--mode", default="rx_zf",
                        choices=["siso", "rx_zf"])
@@ -199,7 +199,11 @@ def main(argv=None):
     from rub_mimo_tpu.io import capture as capio
     from rub_mimo_tpu.io import simulator
 
-    cfg = _config_from_args(args)
+    try:
+        cfg = _config_from_args(args).validate()
+    except ValueError as e:
+        print(f"error: invalid configuration: {e}", file=sys.stderr)
+        return 2
 
     if args.command == "run":
         spec = simulator.ChannelSpec(
@@ -238,8 +242,12 @@ def main(argv=None):
 
                 checkpoint.save(args.save_checkpoint, cfg, result)
     elif args.command == "decode":
-        cap = capio.read_capture(args.capture_dir, cfg.num_streams,
-                                 prefix=args.prefix)
+        try:
+            cap = capio.read_capture(args.capture_dir, cfg.num_streams,
+                                     prefix=args.prefix)
+        except FileNotFoundError as e:
+            print(f"error: capture not found: {e}", file=sys.stderr)
+            return 2
         tx_data = None
         if args.tx_data is not None:
             tx_data = np.stack([

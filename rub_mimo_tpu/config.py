@@ -275,8 +275,8 @@ class ModemConfig:
         reference only asserts at runtime).  Returns self for chaining."""
         if self.num_subcarriers < 8 or (self.num_subcarriers & (self.num_subcarriers - 1)):
             raise ValueError("num_subcarriers must be a power of two >= 8")
-        if not (0 < self.cp_len < self.num_subcarriers):
-            raise ValueError("cp_len must be in (0, num_subcarriers)")
+        if not (0 < self.cp_len <= self.num_subcarriers):
+            raise ValueError("cp_len must be in (0, num_subcarriers]")
         if self.num_streams < 1:
             raise ValueError("num_streams must be >= 1")
         if self.num_access_codes < 1:
