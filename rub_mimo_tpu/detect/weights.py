@@ -1,0 +1,55 @@
+"""Shared detector-weight selection for all three pipelines.
+
+pipeline.rx, pipeline.streaming, and parallel.decode_sharded previously
+each had their own copy of the SISO/diversity/MMSE/ZF weight block, and
+the copies drifted (mmse_auto_noise was only honoured by the offline
+path).  One helper now owns the logic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
+from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.detect import zf as zf_mod
+
+
+def weights_for(
+    cfg: ModemConfig,
+    G: jax.Array,
+    G_occ: jax.Array,
+    window: Optional[jax.Array] = None,
+    ac_index: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """(W [m_occ, out, rx], gain [m_occ]) for the configured detector.
+
+    SISO/RX_DIVERSITY modes equalize outside the W matrix (scalar divide /
+    MRC), so they get zero weights + unit gain placeholders.
+    mmse_auto_noise needs the estimation window + access-code offsets to
+    derive sigma^2 (estimate.ls.estimate_noise_var).
+    """
+    S = cfg.num_streams
+    m_occ = G_occ.shape[0]
+    if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY):
+        return (
+            jnp.zeros((m_occ, S, S), dtype=jnp.complex64),
+            jnp.ones((m_occ,), dtype=jnp.float32),
+        )
+    if cfg.detector == Detector.MMSE:
+        if cfg.mmse_auto_noise:
+            if window is None or ac_index is None:
+                raise ValueError(
+                    "mmse_auto_noise requires the estimation window and "
+                    "access-code offsets"
+                )
+            from rub_mimo_tpu.estimate import ls
+
+            nv = ls.estimate_noise_var(window, ac_index, G, cfg)
+        else:
+            nv = cfg.mmse_noise_var
+        return mmse_mod.mmse_weights(G_occ, nv)
+    return zf_mod.invert(G_occ, cfg.invert_to_unity)

@@ -77,9 +77,10 @@ def sc16_to_fc32(raw: np.ndarray, scale: float = SC16_SCALE) -> np.ndarray:
     """Interleaved int16 IQ -> complex64.  raw: int16 array, even length."""
     raw = np.ascontiguousarray(raw, dtype=np.int16)
     n_iq = raw.size // 2
+    raw = raw[: n_iq * 2]  # drop a trailing half-sample (truncated capture)
     lib = _load()
     if lib is None:
-        return (raw.astype(np.float32) * scale).view(np.complex64)[:n_iq]
+        return (raw.astype(np.float32) * scale).view(np.complex64)
     out = np.empty(n_iq * 2, dtype=np.float32)
     lib.rmt_sc16_to_fc32(
         raw.ctypes.data_as(ctypes.c_void_p),

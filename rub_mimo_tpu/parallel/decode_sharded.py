@@ -26,6 +26,12 @@ time axis — millions of IQ samples the reference walks serially per sample
 
 Constraint: T / n_time >= symbol_len (each shard must own at least one
 symbol start).  Captures are padded by parallel.mesh.shard_capture.
+
+Equality with the single-chip decode is exact on all tested splits; note
+the per-shard metric cumsum restarts at shard boundaries (same math,
+different float32 summation order than offline), so a metric value within
+one ulp of the plateau threshold at a boundary could in principle tip a
+sync decision differently.
 """
 
 from __future__ import annotations
@@ -38,8 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
-from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.config import CommMode, ModemConfig
 from rub_mimo_tpu.detect import siso as siso_mod
 from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
@@ -177,8 +182,15 @@ def _payload_stage(
     if cfg.mode == CommMode.SISO:
         eq_one = siso_mod.siso_equalize(Y, G_occ, cfg.siso_rx, cfg.siso_tx)
         eq = jnp.zeros_like(Y).at[:, cfg.siso_rx, :].set(eq_one)
+    elif cfg.mode == CommMode.RX_DIVERSITY:
+        from rub_mimo_tpu.detect import diversity
+
+        comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
+        eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
     else:
         eq = zf_mod.equalize(Y, W, gain)
+    if cfg.normalize_rx_scale and m_occ != cfg.M:
+        eq = eq * np.float32(np.sqrt(m_occ / cfg.M))
 
     # scatter this shard's symbols into the global [pid, S, m_occ] grid and
     # psum-assemble (each symbol is owned by exactly one shard; row pid_max
@@ -243,16 +255,12 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         # ---- stage B ----
         rstart = sync_index - sym  # window starts one symbol before sync
         region = region_sharded(iq, rstart)
+        from rub_mimo_tpu.detect import weights as weights_mod
+
         mf = matched_filter.search(region, cfg, joint=joint)
         G = ls.estimate_channel(region, mf.ac_index, cfg)
         G_occ = G[occ_idx]
-        if cfg.mode == CommMode.SISO:
-            W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
-            gain = jnp.ones((m_occ,), dtype=jnp.float32)
-        elif cfg.detector == Detector.MMSE:
-            W, gain = mmse_mod.mmse_weights(G_occ, cfg.mmse_noise_var)
-        else:
-            W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+        W, gain = weights_mod.weights_for(cfg, G, G_occ, region, mf.ac_index)
 
         # ---- stage C ----
         decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)

@@ -119,8 +119,17 @@ def resume_decode(
         if cfg.mode == CommMode.SISO:
             eq_one = siso_mod.siso_equalize(Y, G_occ, cfg.siso_rx, cfg.siso_tx)
             eq = jnp.zeros_like(Y).at[:, cfg.siso_rx, :].set(eq_one)
+        elif cfg.mode == CommMode.RX_DIVERSITY:
+            # the checkpointed W is a zero placeholder in this mode —
+            # re-combine with MRC from the saved channel estimate
+            from rub_mimo_tpu.detect import diversity
+
+            comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
+            eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
         else:
             eq = zf_mod.equalize(Y, W, gain)
+        if cfg.normalize_rx_scale and m_occ != cfg.M:
+            eq = eq * np.float32(np.sqrt(m_occ / cfg.M))
         rx_sig = jnp.moveaxis(eq, 0, 1).reshape(S, n_sym * m_occ)
         return rx_sig, constellation.demodulate(rx_sig, cfg.modulation)
 

@@ -28,8 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
-from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.config import CommMode, ModemConfig
 from rub_mimo_tpu.detect import siso as siso_mod
 from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
@@ -132,16 +131,10 @@ def decode(
     G = ls.estimate_channel(window, mf.ac_index, cfg)
     G_occ = G[occ_idx]  # [m_occ, rx, tx]
 
-    # ---- detector weights ----
-    if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY):
-        W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
-        gain = jnp.ones((m_occ,), dtype=jnp.float32)
-    elif cfg.detector == Detector.MMSE:
-        nv = (ls.estimate_noise_var(window, mf.ac_index, G, cfg)
-              if cfg.mmse_auto_noise else cfg.mmse_noise_var)
-        W, gain = mmse_mod.mmse_weights(G_occ, nv)
-    else:
-        W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+    # ---- detector weights (shared across all pipelines) ----
+    from rub_mimo_tpu.detect import weights as weights_mod
+
+    W, gain = weights_mod.weights_for(cfg, G, G_occ, window, mf.ac_index)
 
     # ---- payload slice & batched OFDM demodulation ----
     # decode starts at the last access code's peak + M on the last rx stream

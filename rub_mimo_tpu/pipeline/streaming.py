@@ -20,8 +20,13 @@ steps; all heavy state stays on device:
            in that chunk (unique ownership), reading into a carried
            (symbol_len-1)-sample tail; emit equalized symbols + indices.
 
-The streamed result is bit-identical to the offline decode of the
-concatenated capture (see tests/test_streaming.py).
+The streamed result reproduces the offline decode of the concatenated
+capture (tests/test_streaming.py verifies exact symbol equality across
+chunk sizes).  Caveat: the S&C metric's float32 moving sums restart at
+chunk boundaries, whose positions differ from the offline path's blocks —
+identical math, different summation order — so a metric value within
+rounding distance of the plateau threshold at a boundary sample could in
+principle flip a sync decision the offline path made differently.
 """
 
 from __future__ import annotations
@@ -33,8 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
-from rub_mimo_tpu.detect import mmse as mmse_mod
+from rub_mimo_tpu.config import CommMode, ModemConfig
 from rub_mimo_tpu.detect import siso as siso_mod
 from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
@@ -145,16 +149,13 @@ class StreamingDecoder:
 
         @jax.jit
         def estimate_step(region):
+            from rub_mimo_tpu.detect import weights as weights_mod
+
             mf = matched_filter.search(region, cfg, joint=joint)
             G = ls.estimate_channel(region, mf.ac_index, cfg)
-            G_occ = G[occ]
-            if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY):
-                W = jnp.zeros((m_occ, S, S), dtype=jnp.complex64)
-                gain = jnp.ones((m_occ,), dtype=jnp.float32)
-            elif cfg.detector == Detector.MMSE:
-                W, gain = mmse_mod.mmse_weights(G_occ, cfg.mmse_noise_var)
-            else:
-                W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+            W, gain = weights_mod.weights_for(
+                cfg, G, G[occ], region, mf.ac_index
+            )
             dstart = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
             return G, W, gain, dstart
 
@@ -277,7 +278,6 @@ class StreamingDecoder:
             region_end = self.region_start + self.region_len
             self._pq = []          # queued (data, gpos) payload segments
             self._pq_len = 0
-            self._pt_gpos = self.region_start  # ext base bookkeeping
             self._enqueue(self._region, self.region_start)
             overshoot = self.gpos - region_end
             if overshoot > 0:

@@ -60,7 +60,6 @@ def s0_xcorr_sync(x: jax.Array, cfg: ModemConfig) -> XcorrSyncResult:
     e_win = moving_sum(e_in, M)  # energy of x[i-M+1 .. i]
     # shift so e_aligned[i] = energy of x[i .. i+M-1]
     e_aligned = jnp.roll(e_win, -(M - 1), axis=-1)
-    quality_per = c2 / (e_aligned * e_tmpl + 1e-20)
     # noncoherent sum over rx streams, energy-weighted
     score = jnp.sum(c2, axis=0) / (
         jnp.sum(e_aligned, axis=0) * e_tmpl + 1e-20

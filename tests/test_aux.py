@@ -97,3 +97,22 @@ def test_trace_context(tmp_path):
             jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
     # a trace directory must have been produced
     assert any(tmp_path.iterdir())
+
+
+def test_checkpoint_resume_rx_diversity(tmp_path):
+    """Regression (code review): resume_decode must re-combine with MRC
+    for RX_DIVERSITY checkpoints (the saved W is a zero placeholder)."""
+    from rub_mimo_tpu.config import CommMode
+
+    cfg = tiny_config(bit_exact=False, mode=CommMode.RX_DIVERSITY, siso_tx=0)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=222, seed=21,
+                                 diagonal_dominance=1.0)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    assert bool(result.synced)
+    p = tmp_path / "div.npz"
+    checkpoint.save(p, cfg, result)
+    _, rx_data = checkpoint.resume_decode(cap, checkpoint.load(p))
+    np.testing.assert_array_equal(
+        np.asarray(rx_data), np.asarray(result.rx_data)
+    )

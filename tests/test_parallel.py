@@ -111,3 +111,25 @@ def test_multihost_demo_script():
         capture_output=True, text=True, timeout=500,
     )
     assert "multihost demo: OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_sharded_mmse_auto_noise_and_diversity_match():
+    """Regression (code review): the sharded decode must honour
+    mmse_auto_noise and implement the RX_DIVERSITY combiner."""
+    from rub_mimo_tpu.config import CommMode, Detector
+
+    for cfg in (
+        tiny_config(bit_exact=False, detector=Detector.MMSE,
+                    mmse_auto_noise=True, mmse_noise_var=10.0),
+        tiny_config(bit_exact=False, mode=CommMode.RX_DIVERSITY, siso_tx=0),
+    ):
+        cap, tx_data, _ = _capture(cfg, seed=4, delay=130)
+        ref = rx.decode(cap, cfg)
+        assert bool(ref.synced)
+        m = mesh_mod.make_mesh(4, 1)
+        iq = mesh_mod.shard_capture(cap, m)
+        dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+        got = dec(iq)
+        np.testing.assert_array_equal(
+            np.asarray(got.rx_data), np.asarray(ref.rx_data)
+        )

@@ -122,3 +122,17 @@ def test_streaming_with_native_reader(tmp_path):
         r.close()
     _, rx_data = dec.result()
     np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+
+def test_streaming_mmse_auto_noise_matches_offline():
+    """Regression (code review): streaming must honour mmse_auto_noise —
+    with a wildly wrong fixed mmse_noise_var, auto-noise must still match
+    the offline decode exactly."""
+    cfg = tiny_config(bit_exact=False, detector=Detector.MMSE,
+                      mmse_auto_noise=True, mmse_noise_var=10.0)
+    cap, tx_data, _ = _capture(cfg, seed=4, delay=130)
+    ref = rx.decode(cap, cfg)
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    _, rx_data = dec.result()
+    np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
