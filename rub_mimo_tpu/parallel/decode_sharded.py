@@ -58,6 +58,7 @@ class ShardedDecodeResult(NamedTuple):
     synced: jax.Array
     sync_index: jax.Array
     sync_sample: jax.Array
+    cfo_hat: jax.Array
     G: jax.Array
     decode_start: jax.Array
     rx_sig: jax.Array
@@ -80,8 +81,9 @@ def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int):
         left = jnp.zeros((S, halo), dtype=local.dtype)
     ext = jnp.concatenate([left, local], axis=-1)
     block = min(1 << 15, Tloc + halo)
-    metric_ext, _ = schmidl_cox.sc_metric(ext, cfg.M, block=block)
+    metric_ext, corr_ext = schmidl_cox.sc_metric(ext, cfg.M, block=block)
     metric = metric_ext[:, halo:]
+    corr = corr_ext[:, halo:]
 
     gidx = me * Tloc + jnp.arange(Tloc, dtype=jnp.int32)
     above = metric > cfg.plateau_threshold
@@ -109,7 +111,13 @@ def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int):
     starts_out = jax.lax.psum(
         jnp.where(win, starts, jnp.int32(0)), "time"
     )
-    return best_t, starts_out, fired_any
+    # elect the complex S&C correlation at the fire sample (CFO source,
+    # matching schmidl_cox.synchronize's corr[:, t_star])
+    corr_at = corr[:, t_loc]
+    corr_out = jax.lax.psum(
+        jnp.where(win, corr_at, jnp.complex64(0)), "time"
+    )
+    return best_t, starts_out, fired_any, corr_out
 
 
 # --------------------------------------------------------------- stage B
@@ -128,6 +136,20 @@ def _region_stage(local: jax.Array, rstart: jax.Array, region_len: int):
         loc_pad, (jnp.int32(0), start.astype(jnp.int32)), (S, region_len)
     )
     return jax.lax.psum(part, "time")
+
+
+# ------------------------------------------------------- CFO derotation
+def _derotate_stage(local: jax.Array, eps: jax.Array, ref: jax.Array,
+                    M: int):
+    """Per-shard CFO derotation with a GLOBAL phase reference:
+    out[g] = x[g] * exp(-2j pi eps (g - ref) / M)."""
+    S, Tloc = local.shape
+    me = jax.lax.axis_index("time")
+    gidx = (me * Tloc + jnp.arange(Tloc, dtype=jnp.int32)).astype(
+        jnp.float32
+    )
+    rot = jnp.exp(-2j * jnp.pi * eps * (gidx - ref) / M)
+    return (local * rot[None, :]).astype(jnp.complex64)
 
 
 # --------------------------------------------------------------- stage C
@@ -205,8 +227,6 @@ def _payload_stage(
 def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
     """jit-compiled sharded decoder for [streams, T] captures placed with
     parallel.mesh.shard_capture (T must be a multiple of the 'time' size)."""
-    if cfg.correct_cfo:
-        raise NotImplementedError("sharded decode runs with correct_cfo=False")
     S = cfg.num_streams
     M = cfg.M
     sym = cfg.symbol_len
@@ -228,7 +248,13 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         functools.partial(_sync_stage, cfg=cfg, n_time=n_time),
         mesh=mesh,
         in_specs=spec_t,
-        out_specs=(P(), P(None), P()),
+        out_specs=(P(), P(None), P(), P(None)),
+    )
+    derotate_sharded = jax.shard_map(
+        functools.partial(_derotate_stage, M=M),
+        mesh=mesh,
+        in_specs=(spec_t, P(), P()),
+        out_specs=spec_t,
     )
     region_sharded = jax.shard_map(
         functools.partial(_region_stage, region_len=region_len),
@@ -247,10 +273,16 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
 
     def run(iq: jax.Array) -> ShardedDecodeResult:
         # ---- stage A ----
-        t_star, starts, synced = sync_sharded(iq)
+        t_star, starts, synced, corr_at = sync_sharded(iq)
         t_star = jnp.where(synced, t_star, jnp.int32(0))
         sync_index = (jnp.sum(starts) // S).astype(jnp.int32)
         sync_index = jnp.where(synced, sync_index, jnp.int32(0))
+        cfo0 = jnp.angle(jnp.sum(-corr_at)).astype(jnp.float32) / np.pi
+
+        if cfg.correct_cfo:
+            # coarse derotation with global phase reference 0 (matches the
+            # offline pipeline's correct_cfo over the whole capture)
+            iq = derotate_sharded(iq, cfo0, jnp.float32(0.0))
 
         # ---- stage B ----
         rstart = sync_index - sym  # window starts one symbol before sync
@@ -258,6 +290,22 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         from rub_mimo_tpu.detect import weights as weights_mod
 
         mf = matched_filter.search(region, cfg, joint=joint)
+        cfo_total = cfo0
+        if cfg.correct_cfo:
+            # residual CFO from the access-code peak phases; derotate the
+            # replicated region (phase ref = region start, exactly the
+            # offline path's window derotation) and the sharded capture
+            # (same reference) before re-searching
+            from rub_mimo_tpu.estimate import cfo as cfo_mod
+
+            eps1 = cfo_mod.residual_cfo(region, mf.ac_index, cfg)
+            j = jnp.arange(region_len, dtype=jnp.float32)
+            region = (region * jnp.exp(
+                -2j * jnp.pi * eps1 * j / M
+            )[None, :]).astype(jnp.complex64)
+            iq = derotate_sharded(iq, eps1, rstart.astype(jnp.float32))
+            mf = matched_filter.search(region, cfg, joint=joint)
+            cfo_total = cfo0 + eps1
         G = ls.estimate_channel(region, mf.ac_index, cfg)
         G_occ = G[occ_idx]
         W, gain = weights_mod.weights_for(cfg, G, G_occ, region, mf.ac_index)
@@ -272,6 +320,7 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
             synced=synced,
             sync_index=sync_index,
             sync_sample=t_star,
+            cfo_hat=cfo_total,
             G=G,
             decode_start=decode_start,
             rx_sig=rx_sig,

@@ -133,3 +133,25 @@ def test_sharded_mmse_auto_noise_and_diversity_match():
         np.testing.assert_array_equal(
             np.asarray(got.rx_data), np.asarray(ref.rx_data)
         )
+
+
+def test_sharded_cfo_correction_matches_offline():
+    """CFO support in the sharded decode (coarse from the elected S&C
+    correlation + residual from the replicated region, all derotations on
+    a global phase reference) must reproduce the offline CFO decode."""
+    cfg = tiny_config(bit_exact=False, correct_cfo=True)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=256, seed=31,
+                                 cfo_subcarriers=0.11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+
+    m = mesh_mod.make_mesh(4, 1)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    assert bool(got.synced)
+    assert abs(float(got.cfo_hat) - float(ref.cfo_hat)) < 1e-4
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
