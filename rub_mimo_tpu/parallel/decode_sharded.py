@@ -138,6 +138,57 @@ def _region_stage(local: jax.Array, rstart: jax.Array, region_len: int):
     return jax.lax.psum(part, "time")
 
 
+# --------------------------------------------------- S0 xcorr fallback
+def _xcorr_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
+                 T_total: int):
+    """Per-shard normalized S0 matched filter (sync.xcorr_sync, sharded):
+    each shard correlates its block (+M right halo) against the S0
+    template and the global best peak is elected with collectives.
+    Returns (best_score [], best_gidx []) replicated."""
+    from rub_mimo_tpu.ofdm import preamble
+
+    S, Tloc = local.shape
+    M = cfg.M
+    me = jax.lax.axis_index("time")
+    t = preamble.tables(cfg)
+    tmpl = jnp.asarray(t.s0_unnormalized)
+    e_tmpl = jnp.sum(jnp.abs(tmpl) ** 2).astype(jnp.float32)
+
+    if n_time > 1:
+        right = jax.lax.ppermute(
+            local[:, :M], "time", [(j + 1, j) for j in range(n_time - 1)]
+        )
+    else:
+        right = jnp.zeros((S, M), dtype=local.dtype)
+    ext = jnp.concatenate([local, right], axis=-1)  # [S, Tloc + M]
+
+    L = 1 << int(np.ceil(np.log2(Tloc + 2 * M)))
+    Xf = jnp.fft.fft(ext, n=L, axis=-1)
+    Tf = jnp.fft.fft(tmpl, n=L)
+    c = jnp.fft.ifft(Xf * jnp.conj(Tf)[None, :], axis=-1)[:, :Tloc]
+    c2 = (jnp.real(c) ** 2 + jnp.imag(c) ** 2).astype(jnp.float32)
+
+    e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(jnp.float32)
+    ce = jnp.cumsum(e_in, axis=-1)
+    # e_fwd[j] = energy of ext[j .. j+M-1]
+    e_fwd = ce[:, M - 1 : M - 1 + Tloc] - jnp.concatenate(
+        [jnp.zeros((S, 1), jnp.float32), ce[:, : Tloc - 1]], axis=-1
+    )
+    score = jnp.sum(c2, axis=0) / (jnp.sum(e_fwd, axis=0) * e_tmpl + 1e-20)
+
+    gidx = me * Tloc + jnp.arange(Tloc, dtype=jnp.int32)
+    score = jnp.where(gidx < (T_total - M), score, 0.0)
+    loc_best = jnp.max(score)
+    loc_idx = gidx[jnp.argmax(score)]
+    best = jax.lax.pmax(loc_best, "time")
+    win = loc_best == best
+    # first-winner tie break: smallest global index among winners
+    best_idx = jax.lax.pmin(
+        jnp.where(win, loc_idx, jnp.int32(2**30)), "time"
+    )
+    return best, best_idx
+
+
 # ------------------------------------------------------- CFO derotation
 def _derotate_stage(local: jax.Array, eps: jax.Array, ref: jax.Array,
                     M: int):
@@ -214,6 +265,14 @@ def _payload_stage(
     if cfg.normalize_rx_scale and m_occ != cfg.M:
         eq = eq * np.float32(np.sqrt(m_occ / cfg.M))
 
+    if cfg.track_phase:
+        # decision-directed common-phase tracking (matches pipeline.rx)
+        d1 = constellation.demodulate(eq, cfg.modulation)
+        ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
+        rot = jnp.sum(eq * jnp.conj(ideal), axis=-1)
+        phase = jnp.angle(rot)
+        eq = (eq * jnp.exp(-1j * phase)[..., None]).astype(jnp.complex64)
+
     # scatter this shard's symbols into the global [pid, S, m_occ] grid and
     # psum-assemble (each symbol is owned by exactly one shard; row pid_max
     # is the trash slot for unowned lanes)
@@ -256,6 +315,12 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         in_specs=(spec_t, P(), P()),
         out_specs=spec_t,
     )
+    xcorr_sharded = jax.shard_map(
+        functools.partial(_xcorr_stage, cfg=cfg, n_time=n_time, T_total=T),
+        mesh=mesh,
+        in_specs=spec_t,
+        out_specs=(P(), P()),
+    )
     region_sharded = jax.shard_map(
         functools.partial(_region_stage, region_len=region_len),
         mesh=mesh,
@@ -277,6 +342,13 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         t_star = jnp.where(synced, t_star, jnp.int32(0))
         sync_index = (jnp.sum(starts) // S).astype(jnp.int32)
         sync_index = jnp.where(synced, sync_index, jnp.int32(0))
+        if cfg.sync_fallback:
+            fb_q, fb_p = xcorr_sharded(iq)
+            use_fb = (~synced) & (fb_q > cfg.sync_fallback_threshold)
+            synced = synced | use_fb
+            sync_index = jnp.where(
+                use_fb, (fb_p + M - cfg.cp_len).astype(jnp.int32), sync_index
+            )
         cfo0 = jnp.angle(jnp.sum(-corr_at)).astype(jnp.float32) / np.pi
 
         if cfg.correct_cfo:

@@ -155,3 +155,39 @@ def test_sharded_cfo_correction_matches_offline():
     np.testing.assert_array_equal(
         np.asarray(got.rx_data), np.asarray(ref.rx_data)
     )
+
+
+def test_sharded_sync_fallback_matches_offline():
+    """S0-xcorr fallback in the sharded decode: a low-SNR capture the
+    plateau cannot acquire must decode identically to the offline
+    fallback path."""
+    cfg = tiny_config(bit_exact=False, sync_fallback=True)
+    spec = simulator.ChannelSpec(snr_db=10.0, delay=350, seed=13)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+
+    m = mesh_mod.make_mesh(4, 1)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    assert bool(got.synced)
+    assert int(got.sync_index) == int(ref.sync_index)
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
+
+
+def test_sharded_track_phase_matches_offline():
+    cfg = tiny_config(bit_exact=False, track_phase=True, pid_max=16)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=256, seed=31,
+                                 cfo_subcarriers=0.004)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    m = mesh_mod.make_mesh(4, 1)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
