@@ -61,6 +61,31 @@ def access_code_peak_phasors(
     return vals.reshape(S, codes, S)
 
 
+def s0_halves_cfo(
+    window: jax.Array, s0_index: jax.Array, cfg: ModemConfig
+) -> jax.Array:
+    """Coarse CFO from the S0 symbol's repeated halves at a known offset.
+
+    The classic Schmidl&Cox estimator evaluated at the matched-filter's S0
+    location: P = sum_n conj(w[p+n]) w[p+M/2+n], eps = angle(P)/pi
+    (subcarrier units, unambiguous to +/-1).  Used when sync came from the
+    S0-xcorr fallback — the plateau scan's correlation (the usual coarse
+    source) is garbage when the plateau never fired.  Summed over rx
+    streams (energy-weighted noncoherent combining is unnecessary: the
+    phase is common).
+    """
+    M = cfg.M
+    M2 = M // 2
+    S = cfg.num_streams
+
+    def one(rx, off):
+        seg = jax.lax.dynamic_slice(window[rx], (off,), (M,))
+        return jnp.sum(jnp.conj(seg[:M2]) * seg[M2:])
+
+    ps = jax.vmap(one)(jnp.arange(S), s0_index.astype(jnp.int32))
+    return (jnp.angle(jnp.sum(ps)) / np.pi).astype(jnp.float32)
+
+
 def residual_cfo(
     window: jax.Array, ac_index: jax.Array, cfg: ModemConfig
 ) -> jax.Array:

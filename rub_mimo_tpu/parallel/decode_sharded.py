@@ -342,6 +342,7 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         t_star = jnp.where(synced, t_star, jnp.int32(0))
         sync_index = (jnp.sum(starts) // S).astype(jnp.int32)
         sync_index = jnp.where(synced, sync_index, jnp.int32(0))
+        use_fb = jnp.bool_(False)
         if cfg.sync_fallback:
             fb_q, fb_p = xcorr_sharded(iq)
             use_fb = (~synced) & (fb_q > cfg.sync_fallback_threshold)
@@ -353,7 +354,10 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
 
         if cfg.correct_cfo:
             # coarse derotation with global phase reference 0 (matches the
-            # offline pipeline's correct_cfo over the whole capture)
+            # offline pipeline); the plateau correlation is garbage when
+            # sync came from the fallback -> defer to the S0-halves
+            # estimator on the region (below)
+            cfo0 = jnp.where(use_fb, jnp.float32(0.0), cfo0)
             iq = derotate_sharded(iq, cfo0, jnp.float32(0.0))
 
         # ---- stage B ----
@@ -364,20 +368,34 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         mf = matched_filter.search(region, cfg, joint=joint)
         cfo_total = cfo0
         if cfg.correct_cfo:
-            # residual CFO from the access-code peak phases; derotate the
-            # replicated region (phase ref = region start, exactly the
-            # offline path's window derotation) and the sharded capture
-            # (same reference) before re-searching
+            # fallback-sync coarse (S0 halves) + access-code residual;
+            # region derotations use the region-start phase reference and
+            # the sharded capture the same global reference, exactly the
+            # offline path's window derotation
             from rub_mimo_tpu.estimate import cfo as cfo_mod
 
-            eps1 = cfo_mod.residual_cfo(region, mf.ac_index, cfg)
             j = jnp.arange(region_len, dtype=jnp.float32)
-            region = (region * jnp.exp(
-                -2j * jnp.pi * eps1 * j / M
-            )[None, :]).astype(jnp.complex64)
-            iq = derotate_sharded(iq, eps1, rstart.astype(jnp.float32))
+
+            def derot_region(r, e):
+                return (r * jnp.exp(
+                    -2j * jnp.pi * e * j / M
+                )[None, :]).astype(jnp.complex64)
+
+            eps_s0 = jnp.where(
+                use_fb, cfo_mod.s0_halves_cfo(region, mf.s0_index, cfg),
+                jnp.float32(0.0),
+            )
+            eps1 = cfo_mod.residual_cfo(
+                derot_region(region, eps_s0) if cfg.sync_fallback
+                else region,
+                mf.ac_index, cfg,
+            )
+            region = derot_region(region, eps_s0 + eps1)
+            iq = derotate_sharded(
+                iq, eps_s0 + eps1, rstart.astype(jnp.float32)
+            )
             mf = matched_filter.search(region, cfg, joint=joint)
-            cfo_total = cfo0 + eps1
+            cfo_total = cfo0 + eps_s0 + eps1
         G = ls.estimate_channel(region, mf.ac_index, cfg)
         G_occ = G[occ_idx]
         W, gain = weights_mod.weights_for(cfg, G, G_occ, region, mf.ac_index)

@@ -94,6 +94,7 @@ def decode(
     sync = schmidl_cox.synchronize(iq, cfg, keep_metric=keep_debug)
     synced = sync.synced
     sync_index = sync.sync_index
+    use_fb = jnp.bool_(False)
     if cfg.sync_fallback:
         from rub_mimo_tpu.sync import xcorr_sync
 
@@ -101,8 +102,13 @@ def decode(
         use_fb = (~synced) & (fb.quality > cfg.sync_fallback_threshold)
         synced = synced | use_fb
         sync_index = jnp.where(use_fb, fb.sync_index, sync_index)
+    coarse_cfo = sync.cfo_hat
     if cfg.correct_cfo:
-        iq = schmidl_cox.correct_cfo(iq, sync.cfo_hat, M)
+        # the plateau correlation is garbage when sync came from the
+        # fallback — defer the fallback case's coarse estimate to the
+        # S0-halves estimator on the window (below)
+        coarse_cfo = jnp.where(use_fb, jnp.float32(0.0), sync.cfo_hat)
+        iq = schmidl_cox.correct_cfo(iq, coarse_cfo, M)
 
     # ---- replay window ----
     window = _extract_window(iq, sync_index, cfg)
@@ -113,19 +119,28 @@ def decode(
         window, cfg, method=mf_method, joint=joint, keep_traces=keep_debug
     )
 
-    cfo_total = sync.cfo_hat
+    cfo_total = coarse_cfo
     if cfg.correct_cfo:
-        # residual CFO from the access-code peak phase progression
-        # (estimate.cfo); derotate the window and re-run the offset search
         from rub_mimo_tpu.estimate import cfo as cfo_mod
 
-        eps = cfo_mod.residual_cfo(window, mf.ac_index, cfg)
-        window = schmidl_cox.correct_cfo(window, eps, M)
+        # fallback-sync case: coarse CFO from the S0 halves at the
+        # matched filter's S0 location (the plateau corr never fired)
+        eps_s0 = jnp.where(
+            use_fb, cfo_mod.s0_halves_cfo(window, mf.s0_index, cfg),
+            jnp.float32(0.0),
+        )
+        # residual CFO from the access-code peak phase progression
+        eps = cfo_mod.residual_cfo(
+            schmidl_cox.correct_cfo(window, eps_s0, M)
+            if cfg.sync_fallback else window,
+            mf.ac_index, cfg,
+        )
+        window = schmidl_cox.correct_cfo(window, eps_s0 + eps, M)
         mf = matched_filter.search(
             window, cfg, method=mf_method, joint=joint,
             keep_traces=keep_debug,
         )
-        cfo_total = sync.cfo_hat + eps
+        cfo_total = coarse_cfo + eps_s0 + eps
 
     # ---- LS channel estimate ----
     G = ls.estimate_channel(window, mf.ac_index, cfg)

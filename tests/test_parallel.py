@@ -191,3 +191,22 @@ def test_sharded_track_phase_matches_offline():
     np.testing.assert_array_equal(
         np.asarray(got.rx_data), np.asarray(ref.rx_data)
     )
+
+
+def test_sharded_fallback_with_cfo_matches_offline():
+    """Fallback sync + CFO correction combined, sharded == offline."""
+    cfg = tiny_config(bit_exact=False, sync_fallback=True, correct_cfo=True)
+    spec = simulator.ChannelSpec(snr_db=12.0, delay=350, seed=13,
+                                 cfo_subcarriers=0.11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    m = mesh_mod.make_mesh(4, 1)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    assert bool(got.synced)
+    assert abs(float(got.cfo_hat) - float(ref.cfo_hat)) < 1e-3
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )

@@ -109,3 +109,22 @@ def test_fallback_rescues_4x4_weak_coupling():
     rep = report.score(r, tx_data, tiny_config(sync_fallback=True, **base))
     assert rep.synced
     assert max(rep.symbol_error_rate) < 2.0
+
+
+def test_fallback_with_cfo_correction():
+    """Fallback sync + CFO: the coarse estimate must come from the S0
+    halves (the plateau correlation never fired), then residual refines —
+    a low-SNR, CFO-impaired capture decodes."""
+    cfg = tiny_config(bit_exact=False, sync_fallback=True, correct_cfo=True)
+    spec = simulator.ChannelSpec(snr_db=12.0, delay=350, seed=13,
+                                 cfo_subcarriers=0.11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+
+    plain = schmidl_cox.synchronize(cap, cfg)
+    assert not bool(plain.synced)  # plateau can't fire here
+
+    r = rx.decode(cap, cfg)
+    rep = report.score(r, tx_data, cfg)
+    assert rep.synced
+    assert abs(rep.cfo_hat - 0.11) < 0.03
+    assert max(rep.symbol_error_rate) < 20.0
