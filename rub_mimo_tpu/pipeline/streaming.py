@@ -49,8 +49,6 @@ from rub_mimo_tpu.utils.transfer import to_host
 
 class StreamingDecoder:
     def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16):
-        if cfg.correct_cfo:
-            raise NotImplementedError("streaming decode with CFO correction")
         cfg.validate()
         self.cfg = cfg
         self.C = int(chunk_size)
@@ -88,6 +86,10 @@ class StreamingDecoder:
         self.decode_start: Optional[int] = None  # global frame-0 CP start
         self._ptail = jnp.zeros((S, sym - 1), jnp.complex64)
         self.frames: dict[int, np.ndarray] = {}  # k -> [S, m_occ] complex64
+        self.cfo_hat = 0.0       # accumulated CFO estimate (subcarriers)
+        self._eps0 = 0.0         # coarse rotation applied to incoming data
+        self._eps_r = 0.0        # post-estimation rotation (ref region_start)
+        self._fb_used = False
 
         self._build_steps()
 
@@ -106,7 +108,7 @@ class StreamingDecoder:
         def sync_step(tail, last_below, chunk, gpos):
             """Returns (tail', last_below', fired, t_star, starts)."""
             ext = jnp.concatenate([tail, chunk], axis=-1)
-            metric_ext, _ = schmidl_cox.sc_metric(
+            metric_ext, corr_ext = schmidl_cox.sc_metric(
                 ext, M, block=min(1 << 15, C + M - 1)
             )
             metric = metric_ext[:, M - 1 :]  # [S, C]
@@ -122,12 +124,15 @@ class StreamingDecoder:
             t_loc = jnp.argmax(cond_all).astype(jnp.int32)
             starts = run_start[:, t_loc]
             t_star = gidx[t_loc]
+            corr = corr_ext[:, M - 1 :]
+            corr_at = corr[:, t_loc]
             return (
                 ext[:, -(M - 1):],
                 lb[:, -1],
                 fired.astype(jnp.int32),
                 t_star,
                 starts,
+                corr_at,
             )
 
         @jax.jit
@@ -206,6 +211,65 @@ class StreamingDecoder:
                 eq = eq * np.float32(np.sqrt(m_occ / M))
             return ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32)
 
+        from rub_mimo_tpu.ofdm import preamble as _preamble
+
+        _tmpl = jnp.asarray(_preamble.tables(cfg).s0_unnormalized)
+        _e_tmpl = float(np.sum(np.abs(
+            _preamble.tables(cfg).s0_unnormalized) ** 2))
+
+        @jax.jit
+        def fb_step(tail, chunk):
+            """Per-chunk normalized S0 xcorr over windows starting in
+            [gpos - (M-1), gpos + C - M]; returns (best_score, best_rel)
+            with best_rel relative to the ext start."""
+            ext = jnp.concatenate([tail, chunk], axis=-1)  # [S, C+M-1]
+            n_pos = C  # window starts ext[0..C-1], each fully inside ext
+            L = 1 << int(np.ceil(np.log2(C + 2 * M)))
+            Xf = jnp.fft.fft(ext, n=L, axis=-1)
+            Tf = jnp.fft.fft(_tmpl, n=L)
+            c = jnp.fft.ifft(Xf * jnp.conj(Tf)[None, :], axis=-1)[:, :n_pos]
+            c2 = (jnp.real(c) ** 2 + jnp.imag(c) ** 2).astype(jnp.float32)
+            e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(
+                jnp.float32
+            )
+            ce = jnp.cumsum(e_in, axis=-1)
+            e_fwd = ce[:, M - 1 : M - 1 + n_pos] - jnp.concatenate(
+                [jnp.zeros((S, 1), jnp.float32), ce[:, : n_pos - 1]], axis=-1
+            )
+            score = jnp.sum(c2, axis=0) / (
+                jnp.sum(e_fwd, axis=0) * np.float32(_e_tmpl) + 1e-20
+            )
+            j = jnp.argmax(score).astype(jnp.int32)
+            return score[j], j
+
+        @jax.jit
+        def derotate(data, eps, start_gpos, ref):
+            """data[g] * exp(-2j pi eps (g - ref)/M), g global from
+            start_gpos."""
+            n = data.shape[-1]
+            g = start_gpos.astype(jnp.float32) + jnp.arange(
+                n, dtype=jnp.float32
+            )
+            rot = jnp.exp(-2j * jnp.pi * eps * (g - ref) / M)
+            return (data * rot[None, :]).astype(jnp.complex64)
+
+        @jax.jit
+        def mf_step(region):
+            mf = matched_filter.search(region, cfg, joint=joint)
+            return mf.s0_index, mf.ac_index
+
+        @jax.jit
+        def s0_halves_step(region, s0_index):
+            from rub_mimo_tpu.estimate import cfo as cfo_mod
+
+            return cfo_mod.s0_halves_cfo(region, s0_index, cfg)
+
+        @jax.jit
+        def residual_step(region, ac_index):
+            from rub_mimo_tpu.estimate import cfo as cfo_mod
+
+            return cfo_mod.residual_cfo(region, ac_index, cfg)
+
         @jax.jit
         def recent_step(recent, chunk):
             return jnp.concatenate([recent, chunk], axis=-1)[
@@ -217,6 +281,11 @@ class StreamingDecoder:
         self._estimate_step = estimate_step
         self._payload_step = payload_step
         self._recent_step = recent_step
+        self._fb_step = fb_step
+        self._derotate = derotate
+        self._mf_step = mf_step
+        self._s0_halves_step = s0_halves_step
+        self._residual_step = residual_step
 
     # ------------------------------------------------------------------ #
     def push(self, chunk) -> List[Tuple[int, np.ndarray]]:
@@ -231,35 +300,68 @@ class StreamingDecoder:
         emitted: List[Tuple[int, np.ndarray]] = []
         gpos = self.gpos
 
+        M = cfg.M
         if self.phase == "seek":
-            self._tail, self._last_below, fired, t_star, starts = (
-                self._sync_step(
-                    self._tail, self._last_below, chunk, jnp.int32(gpos)
-                )
+            prev_tail = self._tail  # fb shares the (M-1)-sample history
+            (self._tail, self._last_below, fired, t_star, starts,
+             corr_at) = self._sync_step(
+                self._tail, self._last_below, chunk, jnp.int32(gpos)
             )
+            fired_h = bool(int(to_host(fired)))
+            fb_fired = False
+            if not fired_h and cfg.sync_fallback:
+                q, jrel = self._fb_step(prev_tail, chunk)
+                if float(to_host(q)) > cfg.sync_fallback_threshold:
+                    fb_fired = True
+                    p = gpos - (M - 1) + int(to_host(jrel))
+                    self.sync_index = p + M - cfg.cp_len
             self._recent = self._recent_step(self._recent, chunk)
-            if int(to_host(fired)):
+            if fired_h or fb_fired:
                 self.synced = True
-                self.sync_index = int(
-                    int(to_host(jnp.sum(starts))) // cfg.num_streams
-                )
+                self._fb_used = fb_fired
+                if fired_h:
+                    self.sync_index = int(
+                        int(to_host(jnp.sum(starts))) // cfg.num_streams
+                    )
+                    if cfg.correct_cfo:
+                        ca = to_host(corr_at)
+                        self._eps0 = float(
+                            np.angle(np.sum(-ca)) / np.pi
+                        )
                 self.region_start = self.sync_index - cfg.symbol_len
                 self.phase = "collect"
                 # backfill the region from the recent buffer (which already
-                # includes this chunk)
+                # includes this chunk); derotate raw samples at placement
+                recent = self._recent
+                rec_gpos = gpos + self.C - self._recent_len
+                if cfg.correct_cfo and self._eps0 != 0.0:
+                    recent = self._derotate(
+                        recent, jnp.float32(self._eps0),
+                        jnp.float32(rec_gpos), jnp.float32(0.0),
+                    )
                 self._region = self._place_step(
-                    self._region,
-                    self._recent,
-                    jnp.int32(gpos + self.C - self._recent_len),
+                    self._region, recent, jnp.int32(rec_gpos),
                     jnp.int32(self.region_start),
                 )
         elif self.phase == "collect":
+            data = chunk
+            if cfg.correct_cfo and self._eps0 != 0.0:
+                data = self._derotate(
+                    chunk, jnp.float32(self._eps0), jnp.float32(gpos),
+                    jnp.float32(0.0),
+                )
             self._region = self._place_step(
-                self._region, chunk, jnp.int32(gpos),
+                self._region, data, jnp.int32(gpos),
                 jnp.int32(self.region_start),
             )
         elif self.phase == "payload":
-            self._enqueue(chunk, gpos)
+            data = chunk
+            if cfg.correct_cfo and self._eps0 != 0.0:
+                data = self._derotate(
+                    chunk, jnp.float32(self._eps0), jnp.float32(gpos),
+                    jnp.float32(0.0),
+                )
+            self._enqueue(data, gpos)
         self.gpos = gpos + self.C
 
         # region complete? -> estimate, seed the payload queue from the
@@ -268,8 +370,32 @@ class StreamingDecoder:
             self.phase == "collect"
             and self.gpos >= self.region_start + self.region_len
         ):
+            region_final = self._region
+            if cfg.correct_cfo:
+                # mirror pipeline.rx: optional S0-halves coarse (fallback
+                # sync) + access-code residual, phase ref = region start
+                s0_idx, ac_idx = self._mf_step(region_final)
+                eps_s0 = 0.0
+                if self._fb_used:
+                    eps_s0 = float(to_host(
+                        self._s0_halves_step(region_final, s0_idx)
+                    ))
+                probe = region_final
+                if cfg.sync_fallback and eps_s0 != 0.0:
+                    probe = self._derotate(
+                        region_final, jnp.float32(eps_s0),
+                        jnp.float32(0.0), jnp.float32(0.0),
+                    )
+                eps1 = float(to_host(self._residual_step(probe, ac_idx)))
+                self._eps_r = eps_s0 + eps1
+                if self._eps_r != 0.0:
+                    region_final = self._derotate(
+                        region_final, jnp.float32(self._eps_r),
+                        jnp.float32(0.0), jnp.float32(0.0),
+                    )
+                self.cfo_hat = self._eps0 + self._eps_r
             self.G, self.W, self.gain, dstart = self._estimate_step(
-                self._region
+                region_final
             )
             self.decode_start = self.region_start + int(to_host(dstart))
             self.phase = "payload"
@@ -315,6 +441,13 @@ class StreamingDecoder:
 
     def _payload_block(self, seg) -> List[Tuple[int, np.ndarray]]:
         data, data_gpos = seg
+        if self.cfg.correct_cfo and self._eps_r != 0.0:
+            # queued payload is in coarse-derotated space; apply the
+            # post-estimation rotation (phase ref = region start)
+            data = self._derotate(
+                data, jnp.float32(self._eps_r), jnp.float32(data_gpos),
+                jnp.float32(self.region_start),
+            )
         self._ptail, eq, ks, owned = self._payload_step(
             self._ptail, data, self.W, self.gain, self.G,
             jnp.int32(self.decode_start), jnp.int32(data_gpos),

@@ -136,3 +136,58 @@ def test_streaming_mmse_auto_noise_matches_offline():
     dec.finalize()
     _, rx_data = dec.result()
     np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+
+def test_streaming_cfo_matches_offline():
+    """CFO support in streaming: coarse at the plateau fire + residual at
+    estimation, applied through carried rotation state == offline."""
+    cfg = tiny_config(bit_exact=False, correct_cfo=True)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=256, seed=31,
+                                 cfo_subcarriers=0.11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    assert dec.synced
+    assert abs(dec.cfo_hat - float(ref.cfo_hat)) < 1e-3
+    _, rx_data = dec.result()
+    np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+
+def test_streaming_fallback_acquires():
+    """Per-chunk S0-xcorr fallback: a 10 dB capture the plateau cannot
+    acquire decodes through the streaming path."""
+    from rub_mimo_tpu.pipeline import report as report_mod
+
+    cfg = tiny_config(bit_exact=False, sync_fallback=True)
+    spec = simulator.ChannelSpec(snr_db=10.0, delay=350, seed=13)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    assert dec.synced
+    assert dec.sync_index == int(ref.sync_index)
+    _, rx_data = dec.result()
+    np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+
+def test_streaming_fallback_with_cfo():
+    """Fallback + CFO combined in streaming (S0-halves coarse + residual)."""
+    from rub_mimo_tpu.pipeline import report as report_mod
+
+    cfg = tiny_config(bit_exact=False, sync_fallback=True, correct_cfo=True)
+    spec = simulator.ChannelSpec(snr_db=12.0, delay=350, seed=13,
+                                 cfo_subcarriers=0.11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    assert dec.synced
+    assert abs(dec.cfo_hat - float(ref.cfo_hat)) < 5e-3
+    _, rx_data = dec.result()
+    # decisions at 12 dB: require match rate with the offline decode
+    agree = (rx_data == np.asarray(ref.rx_data)).mean()
+    assert agree > 0.95, agree
