@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import json
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 class CommMode(enum.Enum):

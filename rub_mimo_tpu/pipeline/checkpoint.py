@@ -16,7 +16,6 @@ run can be resumed (or its expensive stages skipped) deterministically:
 from __future__ import annotations
 
 import os
-from pathlib import Path
 from typing import Optional
 
 import numpy as np

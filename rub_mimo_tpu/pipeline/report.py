@@ -16,7 +16,7 @@ import numpy as np
 
 from rub_mimo_tpu.config import CommMode, ModemConfig
 from rub_mimo_tpu.pipeline.rx import DecodeResult
-from rub_mimo_tpu.utils.transfer import fetch_tree, to_host
+from rub_mimo_tpu.utils.transfer import fetch_tree
 
 
 @dataclasses.dataclass

@@ -22,7 +22,7 @@ Everything is static-shaped given (cfg, T): jit once per capture length.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

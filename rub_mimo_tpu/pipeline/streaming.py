@@ -31,7 +31,6 @@ principle flip a sync decision the offline path made differently.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Tuple
 
 import jax

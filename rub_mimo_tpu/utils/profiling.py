@@ -17,7 +17,7 @@ import contextlib
 import dataclasses
 import json
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 @contextlib.contextmanager
