@@ -92,6 +92,16 @@ def main():
     total_samples = S * T * args.batch
     sps = total_samples / best
 
+    # print the metric FIRST: on flaky attachments the verbose scoring
+    # below can stall in a post-decode host transfer
+    baseline_sps = 2.0e6  # 2 channels x 1.0 Msps (mimo/config.h:56)
+    print(json.dumps({
+        "metric": "mimo2x2_decode_throughput",
+        "value": round(sps, 1),
+        "unit": "IQ samples/s/chip",
+        "vs_baseline": round(sps / baseline_sps, 3),
+    }), flush=True)
+
     if args.verbose:
         print(f"compile+first run: {compile_s:.2f}s", file=sys.stderr)
         print(f"times: {[f'{t*1000:.1f}ms' for t in times]}", file=sys.stderr)
@@ -102,14 +112,6 @@ def main():
                 rep.print()
             except Exception as e:  # host quirks must not kill the bench
                 print(f"scoring skipped: {e}", file=sys.stderr)
-
-    baseline_sps = 2.0e6  # 2 channels x 1.0 Msps (mimo/config.h:56)
-    print(json.dumps({
-        "metric": "mimo2x2_decode_throughput",
-        "value": round(sps, 1),
-        "unit": "IQ samples/s/chip",
-        "vs_baseline": round(sps / baseline_sps, 3),
-    }))
 
 
 if __name__ == "__main__":
