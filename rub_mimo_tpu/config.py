@@ -33,6 +33,8 @@ class CommMode(enum.Enum):
     RX_ZF = "rx_zf"
     RX_BEAMFORMING = "rx_beamforming"
     TX_BEAMFORMING = "tx_beamforming"
+    # new (beyond types.h): Alamouti space-time block coding
+    ALAMOUTI = "alamouti"
 
 
 class Detector(enum.Enum):
@@ -290,6 +292,11 @@ class ModemConfig:
             raise ValueError("plateau_threshold must be positive")
         if self.timing_mode not in ("joint", "per_code"):
             raise ValueError("timing_mode must be 'joint' or 'per_code'")
+        if self.mode == CommMode.ALAMOUTI:
+            if self.num_streams != 2:
+                raise ValueError("ALAMOUTI requires num_streams == 2")
+            if self.pid_max % 2:
+                raise ValueError("ALAMOUTI requires an even pid_max")
         if self.sample_rate <= 0 or self.center_frequency <= 0:
             raise ValueError("sample_rate/center_frequency must be positive")
         return self

@@ -34,7 +34,8 @@ def weights_for(
     """
     S = cfg.num_streams
     m_occ = G_occ.shape[0]
-    if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY):
+    if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY,
+                    CommMode.ALAMOUTI):
         return (
             jnp.zeros((m_occ, S, S), dtype=jnp.complex64),
             jnp.ones((m_occ,), dtype=jnp.float32),

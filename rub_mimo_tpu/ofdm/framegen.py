@@ -132,9 +132,11 @@ def generate_payload_symbols(cfg: ModemConfig, seed: int = 0) -> np.ndarray:
     (main.cc:1235-1238): [num_streams, pid_max * M_occupied] int32."""
     rng = np.random.default_rng(seed)
     n = cfg.pid_max * cfg.M_occupied
-    if cfg.mode.value in ("siso", "rx_diversity"):
+    if cfg.mode.value in ("siso", "rx_diversity", "alamouti"):
+        # one logical data stream (antenna mapping happens at framing time)
         data = np.zeros((cfg.num_streams, n), dtype=np.int32)
-        data[cfg.siso_tx] = rng.integers(0, cfg.arity, size=n, dtype=np.int32)
+        active = 0 if cfg.mode.value == "alamouti" else cfg.siso_tx
+        data[active] = rng.integers(0, cfg.arity, size=n, dtype=np.int32)
     else:
         data = rng.integers(
             0, cfg.arity, size=(cfg.num_streams, n), dtype=np.int32
@@ -162,6 +164,19 @@ def transmit_frame(
     from rub_mimo_tpu.ofdm import constellation
 
     sig = constellation.modulate(tx_data, cfg.modulation)
+    if cfg.mode.value == "alamouti":
+        # stream 0 carries the data; space-time code it onto both antennas
+        from rub_mimo_tpu.detect import alamouti as alamouti_mod
+
+        one = sig[0].reshape(cfg.pid_max, cfg.M_occupied)
+        sig_ant = alamouti_mod.encode_pairs(one)  # [2, pid, m_occ]
+        payload_t = assemble_payload(cfg, sig_ant, precoder=precoder)
+        parts = []
+        if include_sync:
+            parts.append(jnp.asarray(write_sync_words(cfg)))
+        parts.append(payload_t)
+        out = jnp.concatenate(parts, axis=-1)
+        return (out * cfg.baseband_gain).astype(jnp.complex64)
     if cfg.mode.value in ("siso", "rx_diversity"):
         # only SISO_TX transmits; the other streams' tx_sig buffers stay
         # zero-filled (main.cc:1213-1219: std::fill then modulate only

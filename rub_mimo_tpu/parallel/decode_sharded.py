@@ -286,6 +286,10 @@ def _payload_stage(
 def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
     """jit-compiled sharded decoder for [streams, T] captures placed with
     parallel.mesh.shard_capture (T must be a multiple of the 'time' size)."""
+    if cfg.mode == CommMode.ALAMOUTI:
+        raise NotImplementedError(
+            "ALAMOUTI pairs span adjacent symbols; use the offline decode"
+        )
     S = cfg.num_streams
     M = cfg.M
     sym = cfg.symbol_len

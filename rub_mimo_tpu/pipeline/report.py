@@ -89,6 +89,8 @@ def score(
         streams = [(cfg.siso_rx, cfg.siso_tx)]
     elif cfg.mode == CommMode.RX_DIVERSITY:
         streams = [(cfg.siso_tx, cfg.siso_tx)]  # MRC output lane
+    elif cfg.mode == CommMode.ALAMOUTI:
+        streams = [(0, 0)]  # single logical stream on lane 0
     else:
         streams = [(s, s) for s in range(cfg.num_streams)]
 

@@ -176,6 +176,12 @@ def decode(
         comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
         eq = jnp.zeros_like(Y)
         eq = eq.at[:, cfg.siso_tx, :].set(comb)
+    elif cfg.mode == CommMode.ALAMOUTI:
+        from rub_mimo_tpu.detect import alamouti as alamouti_mod
+
+        dec1 = alamouti_mod.combine_pairs(Y, G_occ)  # [n_sym, m_occ]
+        eq = jnp.zeros_like(Y)
+        eq = eq.at[:, 0, :].set(dec1)
     else:
         eq = zf_mod.equalize(Y, W, gain)  # [n_sym, S(out), m_occ]
 

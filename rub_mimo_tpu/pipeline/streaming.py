@@ -48,6 +48,10 @@ from rub_mimo_tpu.utils.transfer import to_host
 
 class StreamingDecoder:
     def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16):
+        if cfg.mode == CommMode.ALAMOUTI:
+            raise NotImplementedError(
+                "ALAMOUTI pairs span adjacent symbols; use the offline decode"
+            )
         cfg.validate()
         self.cfg = cfg
         self.C = int(chunk_size)

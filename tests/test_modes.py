@@ -83,3 +83,58 @@ def test_closed_loop_precoding_e2e():
     diag = np.abs(G2[:, [0, 1], [0, 1]]).mean()
     off = np.abs(G2[:, [0, 1], [1, 0]]).mean()
     assert off < 0.25 * diag, f"effective channel not diagonalized: {off} vs {diag}"
+
+
+def test_alamouti_e2e():
+    """Alamouti 2x2 STBC: single data stream space-time coded over both
+    antennas, combined with full diversity at the receiver."""
+    cfg = tiny_config(mode=CommMode.ALAMOUTI, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=333, seed=9)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    rep = report.score(result, tx_data, cfg)
+    assert rep.synced
+    assert rep.symbol_error_rate[0] < 1.0
+
+
+def test_alamouti_combiner_algebra():
+    """Noiseless algebra: encode -> flat channel -> combine recovers the
+    symbols exactly."""
+    import jax.numpy as jnp
+
+    from rub_mimo_tpu.detect import alamouti
+
+    rng = np.random.default_rng(0)
+    n_sym, n_sc, n_rx = 8, 16, 2
+    s = (rng.standard_normal((n_sym, n_sc))
+         + 1j * rng.standard_normal((n_sym, n_sc))).astype(np.complex64)
+    h = (rng.standard_normal((n_sc, n_rx, 2))
+         + 1j * rng.standard_normal((n_sc, n_rx, 2))).astype(np.complex64)
+    ant = np.asarray(alamouti.encode_pairs(jnp.asarray(s)))  # [2, n_sym, sc]
+    # rx: y[t, rx, sc] = sum_a h[sc, rx, a] * ant[a, t, sc]
+    y = np.einsum("sra,ats->trs", h, ant)
+    out = np.asarray(alamouti.combine_pairs(jnp.asarray(y), jnp.asarray(h)))
+    np.testing.assert_allclose(out, s, rtol=1e-4, atol=1e-4)
+
+
+def test_alamouti_diversity_gain():
+    """STBC must beat single-antenna SISO on the same channel draw at low
+    SNR (that's the point of transmit diversity)."""
+    spec = simulator.ChannelSpec(snr_db=10.0, delay=333, seed=40,
+                                 diagonal_dominance=1.0)
+    sers = {}
+    for mode in (CommMode.ALAMOUTI, CommMode.SISO):
+        cfg = tiny_config(mode=mode, siso_tx=0, siso_rx=0, bit_exact=False,
+                          plateau_threshold=0.5)
+        cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+        rep = report.score(rx.decode(cap, cfg), tx_data, cfg)
+        assert rep.synced, mode
+        sers[mode] = rep.symbol_error_rate[0]
+    assert sers[CommMode.ALAMOUTI] <= sers[CommMode.SISO] + 0.2
+
+
+def test_alamouti_config_validation():
+    with pytest.raises(ValueError):
+        tiny_config(mode=CommMode.ALAMOUTI, pid_max=7).validate()
+    with pytest.raises(ValueError):
+        tiny_config(mode=CommMode.ALAMOUTI, num_streams=4).validate()
