@@ -51,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
                        choices=["bpsk", "qpsk", "qam16", "qam64", "qam256", "arb32opt"])
         p.add_argument("--detector", default="zf", choices=["zf", "mmse"])
         p.add_argument("--mode", default="rx_zf",
-                       choices=["siso", "rx_zf"])
+                       choices=["siso", "rx_zf", "rx_diversity", "alamouti"])
         p.add_argument("--bit-exact", action="store_true",
                        help="replicate the reference's estimator quirks")
         p.add_argument("--correct-cfo", action="store_true")
@@ -114,7 +114,7 @@ def _config_from_args(args):
         pid_max=args.frames,
         modulation=Modulation(args.modulation),
         detector=Detector(args.detector),
-        mode=CommMode.SISO if args.mode == "siso" else CommMode.RX_ZF,
+        mode=CommMode(args.mode),
         bit_exact=args.bit_exact,
         correct_cfo=args.correct_cfo,
         center_frequency=args.freq,
