@@ -166,10 +166,13 @@ class SerialFramesync:
         self.W = W
         self.normalize_gain = gain
 
-        # replay the rest of the buffer (framing.cc:853-868)
+        # replay the rest of the buffer (framing.cc:853-868); per-sample
+        # dispatch to the MIMO (framing.cc:535-589) or SISO
+        # (framing.cc:508-533) decode
         start = corr_idx[1, max_ac - 1] + M
         sym_buf = []
         occ = np.nonzero(self.occupied)[0]
+        siso = cfg.mode.value == "siso"
         for i in range(start, self.window_len):
             sym_buf.append(buf[:, i])
             if len(sym_buf) == sym:
@@ -177,14 +180,19 @@ class SerialFramesync:
                 sym_buf = []
                 Xs = np.fft.fft(block[:, cfg.cp_len :], axis=1) * dft_norm
                 out = np.zeros((S, len(occ)), np.complex64)
-                for jj, sc in enumerate(occ):
-                    out[0, jj] = (
-                        W[sc, 0, 0] * Xs[0, sc] + W[sc, 0, 1] * Xs[1, sc]
-                    )
-                    out[1, jj] = (
-                        W[sc, 1, 0] * Xs[0, sc] + W[sc, 1, 1] * Xs[1, sc]
-                    )
-                out *= gain[None, :]
+                if siso:
+                    rxs, txs = cfg.siso_rx, cfg.siso_tx
+                    for jj, sc in enumerate(occ):
+                        out[rxs, jj] = Xs[rxs, sc] / G[sc, rxs, txs]
+                else:
+                    for jj, sc in enumerate(occ):
+                        out[0, jj] = (
+                            W[sc, 0, 0] * Xs[0, sc] + W[sc, 0, 1] * Xs[1, sc]
+                        )
+                        out[1, jj] = (
+                            W[sc, 1, 0] * Xs[0, sc] + W[sc, 1, 1] * Xs[1, sc]
+                        )
+                    out *= gain[None, :]
                 self.decoded.append(out)
 
     def execute(self, capture: np.ndarray) -> None:

@@ -67,3 +67,28 @@ def test_equalized_symbols_match(pair):
         cfg.num_streams, cfg.pid_max, cfg.M_occupied
     ).transpose(1, 0, 2)[:n]
     np.testing.assert_allclose(blk, ser_sym, rtol=5e-3, atol=5e-3)
+
+
+def test_siso_serial_parity():
+    """execute_siso_decode semantics (framing.cc:508-533): the block
+    pipeline's SISO path matches the per-sample port."""
+    from rub_mimo_tpu.config import CommMode
+
+    cfg = tiny_config(bit_exact=True, mode=CommMode.SISO, siso_tx=1,
+                      siso_rx=1)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=411, seed=23)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    cap_np = np.asarray(cap)
+
+    serial = SerialFramesync(cfg)
+    serial.execute(cap_np)
+    assert serial.state == "MIMO_DONE"
+
+    block = rx.decode(jnp.asarray(cap_np), cfg)
+    assert int(block.sync_index) == serial.sync_index
+    ser_sym = np.stack(serial.decoded[: cfg.pid_max], axis=0)
+    n = ser_sym.shape[0]
+    blk = np.asarray(block.rx_sig).reshape(
+        cfg.num_streams, cfg.pid_max, cfg.M_occupied
+    ).transpose(1, 0, 2)[:n]
+    np.testing.assert_allclose(blk, ser_sym, rtol=5e-3, atol=5e-3)
