@@ -252,6 +252,15 @@ def _payload_stage(
     x_t = wins[:, :, cfg.cp_len :]
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
     Y = X[:, :, occ_idx]  # [nloc, S, m_occ]
+    if cfg.mode == CommMode.ALAMOUTI:
+        # pairs span adjacent symbols (possibly different shards): emit the
+        # RAW frequency-domain symbols; combining/postprocessing happens on
+        # the assembled global grid (build_sharded_decoder.run)
+        dest = jnp.where(owned, ks, jnp.int32(cfg.pid_max))
+        local_out = jnp.zeros(
+            (cfg.pid_max + 1, S, m_occ), dtype=jnp.complex64
+        ).at[dest].add(jnp.where(owned[:, None, None], Y, 0))
+        return jax.lax.psum(local_out[: cfg.pid_max], "time")
     if cfg.mode == CommMode.SISO:
         eq_one = siso_mod.siso_equalize(Y, G_occ, cfg.siso_rx, cfg.siso_tx)
         eq = jnp.zeros_like(Y).at[:, cfg.siso_rx, :].set(eq_one)
@@ -286,10 +295,6 @@ def _payload_stage(
 def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
     """jit-compiled sharded decoder for [streams, T] captures placed with
     parallel.mesh.shard_capture (T must be a multiple of the 'time' size)."""
-    if cfg.mode == CommMode.ALAMOUTI:
-        raise NotImplementedError(
-            "ALAMOUTI pairs span adjacent symbols; use the offline decode"
-        )
     S = cfg.num_streams
     M = cfg.M
     sym = cfg.symbol_len
@@ -408,6 +413,20 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
         pstart = jnp.maximum(rstart + decode_start, 0)
         out = payload_sharded(iq, pstart, W, gain, G_occ)  # [pid, S, m_occ]
+        if cfg.mode == CommMode.ALAMOUTI:
+            from rub_mimo_tpu.detect import alamouti as alamouti_mod
+
+            dec1 = alamouti_mod.combine_pairs(out, G_occ)  # [pid, m_occ]
+            eqg = jnp.zeros_like(out).at[:, 0, :].set(dec1)
+            if cfg.normalize_rx_scale and m_occ != M:
+                eqg = eqg * np.float32(np.sqrt(m_occ / M))
+            if cfg.track_phase:
+                d1 = constellation.demodulate(eqg, cfg.modulation)
+                ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
+                rot = jnp.sum(eqg * jnp.conj(ideal), axis=-1)
+                eqg = (eqg * jnp.exp(-1j * jnp.angle(rot))[..., None]
+                       ).astype(jnp.complex64)
+            out = eqg
         rx_sig = jnp.moveaxis(out, 0, 1).reshape(S, cfg.pid_max * m_occ)
         rx_data = constellation.demodulate(rx_sig, cfg.modulation)
         return ShardedDecodeResult(

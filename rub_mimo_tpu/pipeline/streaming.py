@@ -48,10 +48,6 @@ from rub_mimo_tpu.utils.transfer import to_host
 
 class StreamingDecoder:
     def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16):
-        if cfg.mode == CommMode.ALAMOUTI:
-            raise NotImplementedError(
-                "ALAMOUTI pairs span adjacent symbols; use the offline decode"
-            )
         cfg.validate()
         self.cfg = cfg
         self.C = int(chunk_size)
@@ -89,6 +85,7 @@ class StreamingDecoder:
         self.decode_start: Optional[int] = None  # global frame-0 CP start
         self._ptail = jnp.zeros((S, sym - 1), jnp.complex64)
         self.frames: dict[int, np.ndarray] = {}  # k -> [S, m_occ] complex64
+        self._pend: dict[int, np.ndarray] = {}  # raw Y awaiting its pair
         self.cfo_hat = 0.0       # accumulated CFO estimate (subcarriers)
         self._eps0 = 0.0         # coarse rotation applied to incoming data
         self._eps_r = 0.0        # post-estimation rotation (ref region_start)
@@ -198,6 +195,10 @@ class StreamingDecoder:
             )
             Y = X[:, :, occ]
             G_occ = G[occ]
+            if cfg.mode == CommMode.ALAMOUTI:
+                # emit raw frequency-domain symbols; pairs are combined on
+                # the host once both halves have arrived (_emit)
+                return ext[:, -(sym - 1):], Y, ks, owned.astype(jnp.int32)
             if cfg.mode == CommMode.SISO:
                 eq_one = siso_mod.siso_equalize(
                     Y, G_occ, cfg.siso_rx, cfg.siso_tx
@@ -279,6 +280,25 @@ class StreamingDecoder:
                 :, -self._recent_len:
             ]
 
+        @jax.jit
+        def ala_combine(Ypair, Gfull):
+            """Ypair [2, S, m_occ] raw -> combined lane-0 frames
+            [2, S, m_occ] with postprocessing (scale/phase-track)."""
+            from rub_mimo_tpu.detect import alamouti as alamouti_mod
+
+            dec = alamouti_mod.combine_pairs(Ypair, Gfull[occ])  # [2, m_occ]
+            eq = jnp.zeros_like(Ypair).at[:, 0, :].set(dec)
+            if cfg.normalize_rx_scale and m_occ != M:
+                eq = eq * np.float32(np.sqrt(m_occ / M))
+            if cfg.track_phase:
+                d1 = constellation.demodulate(eq, cfg.modulation)
+                ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
+                rot = jnp.sum(eq * jnp.conj(ideal), axis=-1)
+                eq = (eq * jnp.exp(-1j * jnp.angle(rot))[..., None]
+                      ).astype(jnp.complex64)
+            return eq
+
+        self._ala_combine = ala_combine
         self._sync_step = sync_step
         self._place_step = place_step
         self._estimate_step = estimate_step
@@ -474,13 +494,35 @@ class StreamingDecoder:
         ks_h = np.asarray(to_host(ks))
         owned_h = np.asarray(to_host(owned)).astype(bool)
         out = []
-        if owned_h.any():
-            eq_h = to_host(eq)
+        if not owned_h.any():
+            return out
+        eq_h = to_host(eq)
+        if self.cfg.mode.value == "alamouti":
+            import jax.numpy as jnp
+
             for i in np.nonzero(owned_h)[0]:
                 k = int(ks_h[i])
-                if k not in self.frames and k < self.cfg.pid_max:
-                    self.frames[k] = eq_h[i]
-                    out.append((k, eq_h[i]))
+                if k >= self.cfg.pid_max or k in self.frames or k in self._pend:
+                    continue
+                self._pend[k] = eq_h[i]
+                mate = k ^ 1
+                if mate in self._pend:
+                    k0 = min(k, mate)
+                    pair = np.stack(
+                        [self._pend.pop(k0), self._pend.pop(k0 + 1)]
+                    )
+                    comb = to_host(self._ala_combine(
+                        jnp.asarray(pair), self.G
+                    ))
+                    for d in (0, 1):
+                        self.frames[k0 + d] = comb[d]
+                        out.append((k0 + d, comb[d]))
+            return out
+        for i in np.nonzero(owned_h)[0]:
+            k = int(ks_h[i])
+            if k not in self.frames and k < self.cfg.pid_max:
+                self.frames[k] = eq_h[i]
+                out.append((k, eq_h[i]))
         return out
 
     # ------------------------------------------------------------------ #

@@ -27,6 +27,7 @@ CASES = {
     "cfo": dict(bit_exact=False, correct_cfo=True),
     "fallback_lowsnr": dict(bit_exact=False, sync_fallback=True),
     "track_phase": dict(bit_exact=False, track_phase=True),
+    "alamouti": dict(bit_exact=False, mode=CommMode.ALAMOUTI),
 }
 SPECS = {
     "fallback_lowsnr": simulator.ChannelSpec(snr_db=10.0, delay=350,
