@@ -165,12 +165,16 @@ def transmit_frame(
 
     sig = constellation.modulate(tx_data, cfg.modulation)
     if cfg.mode.value == "alamouti":
+        if precoder is not None:
+            # Alamouti exists for the no-CSI case; a precoder would remix
+            # the antennas and destroy the space-time code's structure
+            raise ValueError("ALAMOUTI mode cannot be combined with a precoder")
         # stream 0 carries the data; space-time code it onto both antennas
         from rub_mimo_tpu.detect import alamouti as alamouti_mod
 
         one = sig[0].reshape(cfg.pid_max, cfg.M_occupied)
         sig_ant = alamouti_mod.encode_pairs(one)  # [2, pid, m_occ]
-        payload_t = assemble_payload(cfg, sig_ant, precoder=precoder)
+        payload_t = assemble_payload(cfg, sig_ant)
         parts = []
         if include_sync:
             parts.append(jnp.asarray(write_sync_words(cfg)))

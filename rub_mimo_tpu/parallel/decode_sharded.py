@@ -145,14 +145,11 @@ def _xcorr_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     each shard correlates its block (+M right halo) against the S0
     template and the global best peak is elected with collectives.
     Returns (best_score [], best_gidx []) replicated."""
-    from rub_mimo_tpu.ofdm import preamble
+    from rub_mimo_tpu.sync.xcorr_sync import normalized_s0_score
 
     S, Tloc = local.shape
     M = cfg.M
     me = jax.lax.axis_index("time")
-    t = preamble.tables(cfg)
-    tmpl = jnp.asarray(t.s0_unnormalized)
-    e_tmpl = jnp.sum(jnp.abs(tmpl) ** 2).astype(jnp.float32)
 
     if n_time > 1:
         right = jax.lax.ppermute(
@@ -161,20 +158,7 @@ def _xcorr_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     else:
         right = jnp.zeros((S, M), dtype=local.dtype)
     ext = jnp.concatenate([local, right], axis=-1)  # [S, Tloc + M]
-
-    L = 1 << int(np.ceil(np.log2(Tloc + 2 * M)))
-    Xf = jnp.fft.fft(ext, n=L, axis=-1)
-    Tf = jnp.fft.fft(tmpl, n=L)
-    c = jnp.fft.ifft(Xf * jnp.conj(Tf)[None, :], axis=-1)[:, :Tloc]
-    c2 = (jnp.real(c) ** 2 + jnp.imag(c) ** 2).astype(jnp.float32)
-
-    e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(jnp.float32)
-    ce = jnp.cumsum(e_in, axis=-1)
-    # e_fwd[j] = energy of ext[j .. j+M-1]
-    e_fwd = ce[:, M - 1 : M - 1 + Tloc] - jnp.concatenate(
-        [jnp.zeros((S, 1), jnp.float32), ce[:, : Tloc - 1]], axis=-1
-    )
-    score = jnp.sum(c2, axis=0) / (jnp.sum(e_fwd, axis=0) * e_tmpl + 1e-20)
+    score = normalized_s0_score(ext, cfg, Tloc)
 
     gidx = me * Tloc + jnp.arange(Tloc, dtype=jnp.int32)
     score = jnp.where(gidx < (T_total - M), score, 0.0)
@@ -271,16 +255,9 @@ def _payload_stage(
         eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
     else:
         eq = zf_mod.equalize(Y, W, gain)
-    if cfg.normalize_rx_scale and m_occ != cfg.M:
-        eq = eq * np.float32(np.sqrt(m_occ / cfg.M))
+    from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
-    if cfg.track_phase:
-        # decision-directed common-phase tracking (matches pipeline.rx)
-        d1 = constellation.demodulate(eq, cfg.modulation)
-        ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
-        rot = jnp.sum(eq * jnp.conj(ideal), axis=-1)
-        phase = jnp.angle(rot)
-        eq = (eq * jnp.exp(-1j * phase)[..., None]).astype(jnp.complex64)
+    eq = postprocess_eq(eq, cfg)
 
     # scatter this shard's symbols into the global [pid, S, m_occ] grid and
     # psum-assemble (each symbol is owned by exactly one shard; row pid_max
@@ -416,17 +393,11 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         if cfg.mode == CommMode.ALAMOUTI:
             from rub_mimo_tpu.detect import alamouti as alamouti_mod
 
+            from rub_mimo_tpu.detect.postprocess import postprocess_eq
+
             dec1 = alamouti_mod.combine_pairs(out, G_occ)  # [pid, m_occ]
             eqg = jnp.zeros_like(out).at[:, 0, :].set(dec1)
-            if cfg.normalize_rx_scale and m_occ != M:
-                eqg = eqg * np.float32(np.sqrt(m_occ / M))
-            if cfg.track_phase:
-                d1 = constellation.demodulate(eqg, cfg.modulation)
-                ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
-                rot = jnp.sum(eqg * jnp.conj(ideal), axis=-1)
-                eqg = (eqg * jnp.exp(-1j * jnp.angle(rot))[..., None]
-                       ).astype(jnp.complex64)
-            out = eqg
+            out = postprocess_eq(eqg, cfg)
         rx_sig = jnp.moveaxis(out, 0, 1).reshape(S, cfg.pid_max * m_occ)
         rx_data = constellation.demodulate(rx_sig, cfg.modulation)
         return ShardedDecodeResult(

@@ -35,6 +35,7 @@ def save(path: str | os.PathLike, cfg: ModemConfig, result: DecodeResult) -> Non
         plateau_start=to_host(result.plateau_start),
         plateau_end=to_host(result.plateau_end),
         cfo_hat=np.float32(float(to_host(result.cfo_hat))),
+        cfo_coarse=np.float32(float(to_host(result.cfo_coarse))),
         G=to_host(result.G),
         W=to_host(result.W),
         normalize_gain=to_host(result.normalize_gain),
@@ -56,6 +57,7 @@ class Checkpoint:
         self.plateau_start = z["plateau_start"]
         self.plateau_end = z["plateau_end"]
         self.cfo_hat = float(z["cfo_hat"])
+        self.cfo_coarse = float(z["cfo_coarse"]) if "cfo_coarse" in z else 0.0
         self.G = z["G"]
         self.W = z["W"]
         self.normalize_gain = z["normalize_gain"]
@@ -79,7 +81,8 @@ def resume_decode(
     Skips the sync + matched-filter + estimation stages entirely: the
     saved sync_index/decode_start/W/gain drive the payload slice directly.
     `from_frame` restarts mid-run (deterministic: frame k always maps to
-    the same capture samples).  Returns (rx_sig, rx_data) for frames
+    the same capture samples; must be even for ALAMOUTI so the pairing
+    stays aligned).  Returns (rx_sig, rx_data) for frames
     [from_frame, pid_max).
     """
     import jax
@@ -90,6 +93,8 @@ def resume_decode(
     from rub_mimo_tpu.ofdm import constellation, sctype
 
     cfg = cfg or ckpt.config
+    if cfg.mode == CommMode.ALAMOUTI and from_frame % 2:
+        raise ValueError("ALAMOUTI resume requires an even from_frame")
     S = cfg.num_streams
     m_occ = cfg.M_occupied
     p = cfg.subcarrier_allocation()
@@ -104,8 +109,19 @@ def resume_decode(
     gain = jnp.asarray(ckpt.normalize_gain)
     G_occ = jnp.asarray(ckpt.G)[occ_idx]
 
+    # CFO state the original decode applied (coarse: global phase ref 0;
+    # residual: phase ref = window start = sync_index - symbol_len)
+    eps_c = np.float32(ckpt.cfo_coarse)
+    eps_r = np.float32(ckpt.cfo_hat - ckpt.cfo_coarse)
+    wstart = np.float32(ckpt.sync_index - cfg.symbol_len)
+
     @jax.jit
     def run(iq):
+        if cfg.correct_cfo and (eps_c != 0.0 or eps_r != 0.0):
+            g = jnp.arange(iq.shape[-1], dtype=jnp.float32)
+            phase = eps_c * g + eps_r * (g - wstart)
+            iq = (iq * jnp.exp(-2j * jnp.pi * phase / cfg.M)[None, :]
+                  ).astype(jnp.complex64)
         padded = jnp.pad(iq, ((0, 0), (0, n_sym * cfg.symbol_len)))
         payload = jax.lax.dynamic_slice(
             padded,
@@ -125,10 +141,19 @@ def resume_decode(
 
             comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
             eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
+        elif cfg.mode == CommMode.ALAMOUTI:
+            # W is a zero placeholder here too: re-combine the pairs from
+            # the saved channel estimate (requires even from_frame so the
+            # pairing stays aligned)
+            from rub_mimo_tpu.detect import alamouti as alamouti_mod
+
+            dec1 = alamouti_mod.combine_pairs(Y, G_occ)
+            eq = jnp.zeros_like(Y).at[:, 0, :].set(dec1)
         else:
             eq = zf_mod.equalize(Y, W, gain)
-        if cfg.normalize_rx_scale and m_occ != cfg.M:
-            eq = eq * np.float32(np.sqrt(m_occ / cfg.M))
+        from rub_mimo_tpu.detect.postprocess import postprocess_eq
+
+        eq = postprocess_eq(eq, cfg)
         rx_sig = jnp.moveaxis(eq, 0, 1).reshape(S, n_sym * m_occ)
         return rx_sig, constellation.demodulate(rx_sig, cfg.modulation)
 

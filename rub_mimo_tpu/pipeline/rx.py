@@ -42,7 +42,10 @@ class DecodeResult(NamedTuple):
     sync_sample: jax.Array       # int32 — sample where sync fired
     plateau_start: jax.Array     # int32[streams]
     plateau_end: jax.Array       # int32[streams]
-    cfo_hat: jax.Array           # float32, subcarrier units
+    cfo_hat: jax.Array           # float32, subcarrier units (total)
+    cfo_coarse: jax.Array        # float32 — global-reference component
+                                 # (the residual's phase ref is the window
+                                 # start; checkpoint.resume needs the split)
     G: jax.Array                 # complex64[M, rx, tx] (framesync::get_G)
     W: jax.Array                 # complex64[M_occupied, out, rx]
     normalize_gain: jax.Array    # float32[M_occupied]
@@ -185,17 +188,9 @@ def decode(
     else:
         eq = zf_mod.equalize(Y, W, gain)  # [n_sym, S(out), m_occ]
 
-    if cfg.normalize_rx_scale and m_occ != M:
-        eq = eq * np.float32(np.sqrt(m_occ / M))
+    from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
-    if cfg.track_phase:
-        # decision-directed common-phase tracking per (symbol, stream):
-        # demap, estimate the phase against the decisions, derotate
-        d1 = constellation.demodulate(eq, cfg.modulation)
-        ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
-        rot = jnp.sum(eq * jnp.conj(ideal), axis=-1)  # [n_sym, S]
-        phase = jnp.angle(rot)
-        eq = (eq * jnp.exp(-1j * phase)[..., None]).astype(jnp.complex64)
+    eq = postprocess_eq(eq, cfg)
 
     # symbol validity: the whole symbol must fall inside the real capture
     # (the reference would simply not have decoded past the buffer)
@@ -213,6 +208,7 @@ def decode(
         plateau_start=sync.plateau_start,
         plateau_end=sync.plateau_end,
         cfo_hat=cfo_total,
+        cfo_coarse=coarse_cfo if cfg.correct_cfo else jnp.float32(0.0),
         G=G,
         W=W,
         normalize_gain=gain,

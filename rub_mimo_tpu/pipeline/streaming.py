@@ -211,38 +211,20 @@ class StreamingDecoder:
                 eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
             else:
                 eq = zf_mod.equalize(Y, W, gain)
-            if cfg.normalize_rx_scale and m_occ != M:
-                eq = eq * np.float32(np.sqrt(m_occ / M))
+            from rub_mimo_tpu.detect.postprocess import postprocess_eq
+
+            eq = postprocess_eq(eq, cfg)
             return ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32)
-
-        from rub_mimo_tpu.ofdm import preamble as _preamble
-
-        _tmpl = jnp.asarray(_preamble.tables(cfg).s0_unnormalized)
-        _e_tmpl = float(np.sum(np.abs(
-            _preamble.tables(cfg).s0_unnormalized) ** 2))
 
         @jax.jit
         def fb_step(tail, chunk):
             """Per-chunk normalized S0 xcorr over windows starting in
             [gpos - (M-1), gpos + C - M]; returns (best_score, best_rel)
             with best_rel relative to the ext start."""
+            from rub_mimo_tpu.sync.xcorr_sync import normalized_s0_score
+
             ext = jnp.concatenate([tail, chunk], axis=-1)  # [S, C+M-1]
-            n_pos = C  # window starts ext[0..C-1], each fully inside ext
-            L = 1 << int(np.ceil(np.log2(C + 2 * M)))
-            Xf = jnp.fft.fft(ext, n=L, axis=-1)
-            Tf = jnp.fft.fft(_tmpl, n=L)
-            c = jnp.fft.ifft(Xf * jnp.conj(Tf)[None, :], axis=-1)[:, :n_pos]
-            c2 = (jnp.real(c) ** 2 + jnp.imag(c) ** 2).astype(jnp.float32)
-            e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(
-                jnp.float32
-            )
-            ce = jnp.cumsum(e_in, axis=-1)
-            e_fwd = ce[:, M - 1 : M - 1 + n_pos] - jnp.concatenate(
-                [jnp.zeros((S, 1), jnp.float32), ce[:, : n_pos - 1]], axis=-1
-            )
-            score = jnp.sum(c2, axis=0) / (
-                jnp.sum(e_fwd, axis=0) * np.float32(_e_tmpl) + 1e-20
-            )
+            score = normalized_s0_score(ext, cfg, C)
             j = jnp.argmax(score).astype(jnp.int32)
             return score[j], j
 
@@ -286,17 +268,11 @@ class StreamingDecoder:
             [2, S, m_occ] with postprocessing (scale/phase-track)."""
             from rub_mimo_tpu.detect import alamouti as alamouti_mod
 
+            from rub_mimo_tpu.detect.postprocess import postprocess_eq
+
             dec = alamouti_mod.combine_pairs(Ypair, Gfull[occ])  # [2, m_occ]
             eq = jnp.zeros_like(Ypair).at[:, 0, :].set(dec)
-            if cfg.normalize_rx_scale and m_occ != M:
-                eq = eq * np.float32(np.sqrt(m_occ / M))
-            if cfg.track_phase:
-                d1 = constellation.demodulate(eq, cfg.modulation)
-                ideal = jnp.asarray(constellation.table(cfg.modulation))[d1]
-                rot = jnp.sum(eq * jnp.conj(ideal), axis=-1)
-                eq = (eq * jnp.exp(-1j * jnp.angle(rot))[..., None]
-                      ).astype(jnp.complex64)
-            return eq
+            return postprocess_eq(eq, cfg)
 
         self._ala_combine = ala_combine
         self._sync_step = sync_step
@@ -430,7 +406,14 @@ class StreamingDecoder:
             self._enqueue(self._region, self.region_start)
             overshoot = self.gpos - region_end
             if overshoot > 0:
-                self._enqueue(chunk[:, self.C - overshoot :], region_end)
+                rem = chunk[:, self.C - overshoot :]
+                if cfg.correct_cfo and self._eps0 != 0.0:
+                    # the payload queue lives in coarse-derotated space
+                    rem = self._derotate(
+                        rem, jnp.float32(self._eps0),
+                        jnp.float32(region_end), jnp.float32(0.0),
+                    )
+                self._enqueue(rem, region_end)
 
         emitted += self._drain()
         return emitted

@@ -35,6 +35,38 @@ def _fft_len(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def normalized_s0_score(ext: jax.Array, cfg: ModemConfig, n_pos: int) -> jax.Array:
+    """Normalized S0 matched-filter score, the ONE shared implementation
+    for the offline / streaming / sharded fallback detectors.
+
+    ext: [streams, >= n_pos + M - 1] samples; returns score[j] in [0, 1]
+    for windows ext[j : j+M), j < n_pos:
+
+        score[j] = sum_rx |corr_j|^2 / (sum_rx energy_j * ||s0||^2)
+
+    (Cauchy-Schwarz-normalized, noncoherently combined over rx streams.)
+    Windows reaching past ext's end read implicit zeros via FFT padding.
+    """
+    t = preamble.tables(cfg)
+    M = cfg.M
+    tmpl = jnp.asarray(t.s0_unnormalized)  # ifft_fftw(S0)
+    e_tmpl = jnp.sum(jnp.abs(tmpl) ** 2).astype(jnp.float32)
+
+    L = _fft_len(ext.shape[-1] + M)
+    Xf = jnp.fft.fft(ext, n=L, axis=-1)
+    Tf = jnp.fft.fft(tmpl, n=L)
+    c = jnp.fft.ifft(Xf * jnp.conj(Tf)[None, :], axis=-1)[:, :n_pos]
+    c2 = (jnp.real(c) ** 2 + jnp.imag(c) ** 2).astype(jnp.float32)
+
+    # e_fwd[j] = energy of ext[j .. j+M-1]
+    e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(jnp.float32)
+    e_win = moving_sum(e_in, M)  # energy of ext[i-M+1 .. i]
+    e_fwd = jnp.roll(e_win, -(M - 1), axis=-1)[:, :n_pos]
+    return jnp.sum(c2, axis=0) / (
+        jnp.sum(e_fwd, axis=0) * e_tmpl + 1e-20
+    )
+
+
 def s0_xcorr_sync(x: jax.Array, cfg: ModemConfig) -> XcorrSyncResult:
     """Normalized S0 matched filter over the whole capture.
 
@@ -42,28 +74,10 @@ def s0_xcorr_sync(x: jax.Array, cfg: ModemConfig) -> XcorrSyncResult:
     power (noncoherent combining) so any mixing channel that delivers S0
     energy to at least one antenna acquires.
     """
-    t = preamble.tables(cfg)
     M = cfg.M
     S, T = x.shape
-    tmpl = jnp.asarray(t.s0_unnormalized)  # ifft_fftw(S0)
-    e_tmpl = jnp.sum(jnp.abs(tmpl) ** 2).astype(jnp.float32)
-
-    L = _fft_len(T + M)
-    Xf = jnp.fft.fft(x, n=L, axis=-1)
-    Tf = jnp.fft.fft(tmpl, n=L)
-    c = jnp.fft.ifft(Xf * jnp.conj(Tf)[None, :], axis=-1)[:, :T]
-    c2 = (jnp.real(c) ** 2 + jnp.imag(c) ** 2).astype(jnp.float32)
-
-    # window energy ending at i + M - 1, aligned to correlation start i
-    e_in = (jnp.real(x) ** 2 + jnp.imag(x) ** 2).astype(jnp.float32)
-    e_win = moving_sum(e_in, M)  # energy of x[i-M+1 .. i]
-    # shift so e_aligned[i] = energy of x[i .. i+M-1]
-    e_aligned = jnp.roll(e_win, -(M - 1), axis=-1)
-    # noncoherent sum over rx streams, energy-weighted
-    score = jnp.sum(c2, axis=0) / (
-        jnp.sum(e_aligned, axis=0) * e_tmpl + 1e-20
-    )
-    # exclude the wrap/tail region where the window runs off the capture
+    score = normalized_s0_score(x, cfg, T)
+    # exclude the tail where the window runs off the capture
     valid = jnp.arange(T) < (T - M)
     score = jnp.where(valid, score, 0.0)
     p = jnp.argmax(score).astype(jnp.int32)

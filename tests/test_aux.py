@@ -116,3 +116,39 @@ def test_checkpoint_resume_rx_diversity(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(rx_data), np.asarray(result.rx_data)
     )
+
+
+def test_checkpoint_resume_cfo_and_alamouti(tmp_path):
+    """Regression (code review round 2): resume must re-apply the saved
+    CFO derotations (coarse+residual, correct phase references) and
+    support ALAMOUTI recombining."""
+    from rub_mimo_tpu.config import CommMode
+
+    # CFO case
+    cfg = tiny_config(bit_exact=False, correct_cfo=True)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=256, seed=31,
+                                 cfo_subcarriers=0.11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    assert bool(result.synced)
+    p = tmp_path / "cfo.npz"
+    checkpoint.save(p, cfg, result)
+    _, rx_data = checkpoint.resume_decode(cap, checkpoint.load(p))
+    np.testing.assert_array_equal(
+        np.asarray(rx_data), np.asarray(result.rx_data)
+    )
+
+    # ALAMOUTI case
+    cfg_a = tiny_config(bit_exact=False, mode=CommMode.ALAMOUTI)
+    spec_a = simulator.ChannelSpec(snr_db=30.0, delay=333, seed=9)
+    cap_a, txd_a, _ = simulator.simulate_capture(cfg_a, spec_a)
+    r_a = rx.decode(cap_a, cfg_a)
+    assert bool(r_a.synced)
+    pa = tmp_path / "ala.npz"
+    checkpoint.save(pa, cfg_a, r_a)
+    _, rxd_a = checkpoint.resume_decode(cap_a, checkpoint.load(pa))
+    np.testing.assert_array_equal(
+        np.asarray(rxd_a), np.asarray(r_a.rx_data)
+    )
+    with pytest.raises(ValueError):
+        checkpoint.resume_decode(cap_a, checkpoint.load(pa), from_frame=3)

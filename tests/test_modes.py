@@ -138,3 +138,16 @@ def test_alamouti_config_validation():
         tiny_config(mode=CommMode.ALAMOUTI, pid_max=7).validate()
     with pytest.raises(ValueError):
         tiny_config(mode=CommMode.ALAMOUTI, num_streams=4).validate()
+
+
+def test_alamouti_rejects_precoder():
+    import jax.numpy as jnp
+
+    from rub_mimo_tpu.detect import precode
+    from rub_mimo_tpu.ofdm import framegen
+
+    cfg = tiny_config(mode=CommMode.ALAMOUTI, bit_exact=False)
+    data = framegen.generate_payload_symbols(cfg, seed=0)
+    P = jnp.tile(jnp.eye(2, dtype=jnp.complex64), (cfg.M_occupied, 1, 1))
+    with pytest.raises(ValueError):
+        framegen.transmit_frame(cfg, jnp.asarray(data), precoder=P)

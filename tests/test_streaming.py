@@ -191,3 +191,21 @@ def test_streaming_fallback_with_cfo():
     # decisions at 12 dB: require match rate with the offline decode
     agree = (rx_data == np.asarray(ref.rx_data)).mean()
     assert agree > 0.95, agree
+
+
+def test_streaming_cfo_overshoot_regression():
+    """Regression (code review round 2): the estimation-trigger overshoot
+    tail must be enqueued in coarse-derotated space.  delay/seed chosen so
+    overshoot is large; verified to produce up to 48% SER before the fix."""
+    cfg = tiny_config(bit_exact=False, correct_cfo=True)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=300, seed=31,
+                                 cfo_subcarriers=0.11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    for chunk in (200, 512):
+        dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=chunk)
+        dec.finalize()
+        _, rx_data = dec.result()
+        agree = (rx_data == np.asarray(ref.rx_data)).mean()
+        assert agree > 0.999, f"chunk {chunk}: {agree}"
