@@ -83,3 +83,27 @@ def test_batch_decode_matches_individual():
             np.asarray(out.rx_data)[i], np.asarray(ref_cut.rx_data)
         )
         assert int(out.sync_index[i]) == int(ref_cut.sync_index)
+
+
+def test_decode_zero_delay_edge():
+    """Frame starting at sample 0 (no leading noise): sync and decode."""
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=0, seed=5)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    rep = report.score(result, tx_data, cfg)
+    assert rep.synced
+    assert max(rep.symbol_error_rate) < 1.0
+
+
+def test_decode_no_trailing_margin():
+    """Capture ending exactly at the last payload sample: every frame must
+    still be valid and decoded."""
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=120, trailing=0, seed=5)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    rep = report.score(result, tx_data, cfg)
+    assert rep.synced
+    assert max(rep.symbol_error_rate) < 1.0
+    assert int(np.asarray(result.symbol_valid).sum()) == cfg.pid_max
