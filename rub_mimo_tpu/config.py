@@ -167,6 +167,14 @@ class ModemConfig:
     # phase ramps across long payloads.
     track_phase: bool = False
 
+    # --- decision-directed channel tracking (new capability) ---
+    # Track the full per-subcarrier MIMO channel across the payload in
+    # blocks (detect.tracking): follows drift the reference's one-shot
+    # preamble estimate cannot.  ZF-family modes only.
+    track_channel: bool = False
+    track_block_frames: int = 16
+    track_alpha: float = 0.5
+
     # --- RX amplitude compensation ---
     # The reference's mixed normalization conventions (S1 scaled by
     # 1/sqrt(M) but payload/RX by 1/sqrt(M_occupied)) leave a systematic
@@ -292,6 +300,11 @@ class ModemConfig:
             raise ValueError("plateau_threshold must be positive")
         if self.timing_mode not in ("joint", "per_code"):
             raise ValueError("timing_mode must be 'joint' or 'per_code'")
+        if self.track_channel and self.pid_max % self.track_block_frames:
+            raise ValueError(
+                "track_channel requires pid_max divisible by "
+                "track_block_frames"
+            )
         if self.mode == CommMode.ALAMOUTI:
             if self.num_streams != 2:
                 raise ValueError("ALAMOUTI requires num_streams == 2")

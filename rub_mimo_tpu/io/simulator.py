@@ -33,6 +33,9 @@ class ChannelSpec:
     delay: int = 1000           # leading samples before the frame (timing offset)
     trailing: int = 2048        # trailing samples after the frame
     cfo_subcarriers: float = 0.0  # CFO in subcarrier-spacing units
+    # per-element phase drift in cycles/sample (time-varying flat channel;
+    # each H entry rotates at rate drift_rate * u with u ~ U(-1, 1))
+    drift_rate: float = 0.0
     seed: int = 1234
     identity: bool = False      # H = I (loopback)
     diagonal_dominance: float = 2.0  # scales the diagonal of random H for
@@ -75,7 +78,17 @@ def apply_channel(
     T = tx.shape[-1]
 
     # MIMO FIR mixing: y[rx] = sum_tx conv(tx[tx], h[rx, tx])
-    if taps == 1:
+    if taps == 1 and spec.drift_rate != 0.0:
+        # time-varying flat channel: each element rotates independently
+        rng = np.random.default_rng(spec.seed + 7)
+        rates = spec.drift_rate * rng.uniform(-1, 1, (num_rx, num_tx))
+        n = jnp.arange(T, dtype=jnp.float32)
+        rot = jnp.exp(
+            2j * jnp.pi * jnp.asarray(rates[..., None]) * n[None, None, :]
+        )  # [rx, tx, T]
+        ht = h[..., 0][..., None] * rot
+        y = jnp.einsum("rtn,tn->rn", ht, tx)
+    elif taps == 1:
         y = jnp.einsum("rt,tn->rn", h[..., 0], tx)
     else:
         # full convolution via FFT (lengths are large)

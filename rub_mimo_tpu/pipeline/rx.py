@@ -185,6 +185,13 @@ def decode(
         dec1 = alamouti_mod.combine_pairs(Y, G_occ)  # [n_sym, m_occ]
         eq = jnp.zeros_like(Y)
         eq = eq.at[:, 0, :].set(dec1)
+    elif cfg.track_channel:
+        from rub_mimo_tpu.detect import tracking
+
+        eq, _ = tracking.track_and_equalize(
+            Y, G_occ, cfg,
+            block_frames=cfg.track_block_frames, alpha=cfg.track_alpha,
+        )
     else:
         eq = zf_mod.equalize(Y, W, gain)  # [n_sym, S(out), m_occ]
 

@@ -1,0 +1,58 @@
+"""Decision-directed channel tracking under a drifting channel."""
+
+import numpy as np
+import pytest
+
+from rub_mimo_tpu.config import tiny_config
+from rub_mimo_tpu.io import simulator
+from rub_mimo_tpu.pipeline import report, rx
+
+
+def _drift_capture(cfg, drift, seed=3):
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=333, seed=seed,
+                                 drift_rate=drift)
+    return simulator.simulate_capture(cfg, spec)
+
+
+def test_tracking_recovers_drifting_channel():
+    """A per-element phase drift that wrecks the one-shot estimator must
+    decode cleanly with block tracking.  Rate calibration: the rotation
+    between the preamble estimate and the first payload block must stay
+    inside the decision margin (a few degrees for 16-QAM), while the
+    160-frame payload accumulates ~45+ degrees per element — different
+    per element, so track_phase alone cannot fix it."""
+    from rub_mimo_tpu.config import Modulation
+
+    base = dict(bit_exact=False, pid_max=160, modulation=Modulation.QAM16)
+    drift = 1e-5
+    cfg_off = tiny_config(**base)
+    cap, tx_data, _ = _drift_capture(cfg_off, drift)
+    rep_off = report.score(rx.decode(cap, cfg_off), tx_data, cfg_off)
+    assert rep_off.synced
+    assert max(rep_off.symbol_error_rate) > 5.0, (
+        f"drift should break the static estimator: {rep_off.symbol_error_rate}"
+    )
+
+    cfg_on = tiny_config(track_channel=True, track_block_frames=8,
+                         track_alpha=0.6, **base)
+    rep_on = report.score(rx.decode(cap, cfg_on), tx_data, cfg_on)
+    assert rep_on.synced
+    assert max(rep_on.symbol_error_rate) < 2.0, rep_on.symbol_error_rate
+
+
+def test_tracking_noop_on_static_channel():
+    """On a static channel, tracking must not hurt."""
+    base = dict(bit_exact=False, pid_max=64)
+    cfg_off = tiny_config(**base)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=333, seed=3)
+    cap, tx_data, _ = simulator.simulate_capture(cfg_off, spec)
+    rep_off = report.score(rx.decode(cap, cfg_off), tx_data, cfg_off)
+    cfg_on = tiny_config(track_channel=True, track_block_frames=8, **base)
+    rep_on = report.score(rx.decode(cap, cfg_on), tx_data, cfg_on)
+    assert max(rep_on.symbol_error_rate) <= max(rep_off.symbol_error_rate) + 0.1
+
+
+def test_tracking_validation():
+    with pytest.raises(ValueError):
+        tiny_config(track_channel=True, pid_max=10,
+                    track_block_frames=16).validate()
