@@ -272,6 +272,11 @@ def _payload_stage(
 def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
     """jit-compiled sharded decoder for [streams, T] captures placed with
     parallel.mesh.shard_capture (T must be a multiple of the 'time' size)."""
+    if cfg.track_channel:
+        raise NotImplementedError(
+            "track_channel is sequential across payload blocks; use the "
+            "offline or streaming decode"
+        )
     S = cfg.num_streams
     M = cfg.M
     sym = cfg.symbol_len

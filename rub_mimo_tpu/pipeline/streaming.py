@@ -48,6 +48,11 @@ from rub_mimo_tpu.utils.transfer import to_host
 
 class StreamingDecoder:
     def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16):
+        if cfg.track_channel:
+            raise NotImplementedError(
+                "track_channel in streaming is a round-2 item; use the "
+                "offline decode"
+            )
         cfg.validate()
         self.cfg = cfg
         self.C = int(chunk_size)
