@@ -36,12 +36,14 @@ SPECS = {
                                  cfo_subcarriers=0.08),
 }
 DEFAULT_SPEC = simulator.ChannelSpec(snr_db=35.0, delay=333, seed=7)
+ALT_SPEC = simulator.ChannelSpec(snr_db=32.0, delay=601, seed=77)
 
 
+@pytest.mark.parametrize("alt", [False, True])
 @pytest.mark.parametrize("name", list(CASES))
-def test_offline_sharded_streaming_agree(name):
+def test_offline_sharded_streaming_agree(name, alt):
     cfg = tiny_config(**CASES[name])
-    spec = SPECS.get(name, DEFAULT_SPEC)
+    spec = SPECS.get(name, ALT_SPEC if alt else DEFAULT_SPEC)
     cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
     ref = rx.decode(cap, cfg)
     assert bool(ref.synced), f"{name}: offline failed to sync"
