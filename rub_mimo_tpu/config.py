@@ -300,6 +300,10 @@ class ModemConfig:
             raise ValueError("plateau_threshold must be positive")
         if self.timing_mode not in ("joint", "per_code"):
             raise ValueError("timing_mode must be 'joint' or 'per_code'")
+        if self.track_channel and self.mode not in (
+            CommMode.RX_ZF, CommMode.RX_BEAMFORMING
+        ):
+            raise ValueError("track_channel requires a ZF-family mode")
         if self.track_channel and self.pid_max % self.track_block_frames:
             raise ValueError(
                 "track_channel requires pid_max divisible by "

@@ -31,6 +31,23 @@ from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.ofdm import constellation
 
 
+def ls_refit(
+    Yblk: jax.Array,
+    s_hat: jax.Array,
+    ridge: float = 1e-3,
+) -> jax.Array:
+    """Per-subcarrier LS channel refit from decisions.
+
+    Yblk, s_hat: [B, S, n_sc] (set unowned symbols to zero in BOTH to
+    exclude them).  Returns G_new [n_sc, S, S].
+    """
+    S = Yblk.shape[1]
+    eye = jnp.eye(S, dtype=jnp.complex64)
+    A = jnp.einsum("nts,nus->stu", s_hat, jnp.conj(s_hat))
+    B = jnp.einsum("nrs,nus->sru", Yblk, jnp.conj(s_hat))
+    return B @ jnp.linalg.inv(A + ridge * eye)
+
+
 def track_and_equalize(
     Y: jax.Array,
     G0: jax.Array,
@@ -51,7 +68,6 @@ def track_and_equalize(
     n_sym, S, n_sc = Y.shape
     nb = n_sym // block_frames
     Yb = Y.reshape(nb, block_frames, S, n_sc)
-    eye = jnp.eye(S, dtype=jnp.complex64)
     table = jnp.asarray(constellation.table(cfg.modulation))
 
     def body(G, Yblk):
@@ -59,10 +75,7 @@ def track_and_equalize(
         eq = zf_mod.equalize(Yblk, W, gain)  # [B, S, n_sc]
         d = constellation.demodulate(eq, cfg.modulation)
         s_hat = table[d]  # [B, S, n_sc]
-        # per-sc LS refit from the decisions
-        A = jnp.einsum("nts,nus->stu", s_hat, jnp.conj(s_hat))  # [sc, S, S]
-        B = jnp.einsum("nrs,nus->sru", Yblk, jnp.conj(s_hat))
-        G_new = B @ jnp.linalg.inv(A + ridge * eye)
+        G_new = ls_refit(Yblk, s_hat, ridge)
         G = ((1.0 - alpha) * G + alpha * G_new).astype(jnp.complex64)
         return G, eq
 

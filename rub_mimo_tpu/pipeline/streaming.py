@@ -48,11 +48,6 @@ from rub_mimo_tpu.utils.transfer import to_host
 
 class StreamingDecoder:
     def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16):
-        if cfg.track_channel:
-            raise NotImplementedError(
-                "track_channel in streaming is a round-2 item; use the "
-                "offline decode"
-            )
         cfg.validate()
         self.cfg = cfg
         self.C = int(chunk_size)
@@ -262,6 +257,51 @@ class StreamingDecoder:
             return cfo_mod.residual_cfo(region, ac_index, cfg)
 
         @jax.jit
+        def payload_step_track(ptail, chunk, Gfull, pstart, gpos):
+            """payload_step variant for track_channel: equalizes with the
+            CARRIED channel estimate (ZF) and refits it from this block's
+            owned decisions.  Returns (ptail', eq, ks, owned, Gfull')."""
+            from rub_mimo_tpu.detect import tracking as tracking_mod
+            from rub_mimo_tpu.detect.postprocess import postprocess_eq
+
+            ext = jnp.concatenate([ptail, chunk], axis=-1)
+            base = gpos - (sym - 1)
+            k0 = jnp.maximum(-((pstart - base) // sym), 0).astype(jnp.int32)
+            ks = k0 + jnp.arange(C // sym + 1, dtype=jnp.int32)
+            gs = pstart + ks * sym
+            rels = gs - base
+            owned = (
+                (gs >= base) & (gs < gpos + C - sym + 1) & (ks < cfg.pid_max)
+            )
+
+            def grab(rel):
+                r = jnp.clip(rel, 0, C - 1)
+                return jax.lax.dynamic_slice(
+                    ext, (jnp.int32(0), r.astype(jnp.int32)), (S, sym)
+                )
+
+            wins = jax.vmap(grab)(rels)
+            X = jnp.fft.fft(wins[:, :, cp:], axis=-1) * np.float32(
+                1.0 / np.sqrt(m_occ)
+            )
+            Y = X[:, :, occ]
+            G_occ = Gfull[occ]
+            W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+            eq = zf_mod.equalize(Y, W, gain)
+            d = constellation.demodulate(eq, cfg.modulation)
+            s_hat = jnp.asarray(constellation.table(cfg.modulation))[d]
+            m = owned.astype(jnp.complex64)[:, None, None]
+            G_new_occ = tracking_mod.ls_refit(Y * m, s_hat * m)
+            n_owned = jnp.sum(owned)
+            a = jnp.where(n_owned > 0, jnp.float32(cfg.track_alpha), 0.0)
+            G_occ2 = ((1.0 - a) * G_occ + a * G_new_occ).astype(
+                jnp.complex64
+            )
+            Gfull = Gfull.at[occ].set(G_occ2)
+            eq = postprocess_eq(eq, cfg)
+            return ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32), Gfull
+
+        @jax.jit
         def recent_step(recent, chunk):
             return jnp.concatenate([recent, chunk], axis=-1)[
                 :, -self._recent_len:
@@ -284,6 +324,7 @@ class StreamingDecoder:
         self._place_step = place_step
         self._estimate_step = estimate_step
         self._payload_step = payload_step
+        self._payload_step_track = payload_step_track
         self._recent_step = recent_step
         self._fb_step = fb_step
         self._derotate = derotate
@@ -459,10 +500,16 @@ class StreamingDecoder:
                 data, jnp.float32(self._eps_r), jnp.float32(data_gpos),
                 jnp.float32(self.region_start),
             )
-        self._ptail, eq, ks, owned = self._payload_step(
-            self._ptail, data, self.W, self.gain, self.G,
-            jnp.int32(self.decode_start), jnp.int32(data_gpos),
-        )
+        if self.cfg.track_channel:
+            (self._ptail, eq, ks, owned, self.G) = self._payload_step_track(
+                self._ptail, data, self.G,
+                jnp.int32(self.decode_start), jnp.int32(data_gpos),
+            )
+        else:
+            self._ptail, eq, ks, owned = self._payload_step(
+                self._ptail, data, self.W, self.gain, self.G,
+                jnp.int32(self.decode_start), jnp.int32(data_gpos),
+            )
         return self._emit(eq, ks, owned)
 
     def finalize(self) -> List[Tuple[int, np.ndarray]]:

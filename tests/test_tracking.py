@@ -56,3 +56,48 @@ def test_tracking_validation():
     with pytest.raises(ValueError):
         tiny_config(track_channel=True, pid_max=10,
                     track_block_frames=16).validate()
+
+
+def test_streaming_tracking_recovers_drifting_channel():
+    """track_channel in the STREAMING decoder: per-payload-block refit
+    with carried state follows the same drift (block boundaries differ
+    from offline, so the criterion is decode quality, not bit equality)."""
+    from rub_mimo_tpu.config import Modulation
+    from rub_mimo_tpu.pipeline import streaming
+
+    base = dict(bit_exact=False, pid_max=160, modulation=Modulation.QAM16)
+    drift = 1e-5
+    cfg = tiny_config(track_channel=True, track_block_frames=8,
+                      track_alpha=0.6, **base)
+    cap, tx_data, _ = _drift_capture(cfg, drift)
+
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    assert dec.synced
+    _, rx_data = dec.result()
+    n = cfg.pid_max * cfg.M_occupied
+    ser = (rx_data[:, :n] != tx_data[:, :n]).mean(axis=1) * 100
+    assert max(ser) < 2.0, ser
+
+
+def test_streaming_tracking_static_matches_offline_decisions():
+    from rub_mimo_tpu.pipeline import streaming
+
+    cfg = tiny_config(bit_exact=False, pid_max=64, track_channel=True,
+                      track_block_frames=8)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=333, seed=3)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    ref = rx.decode(cap, cfg)
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    _, rx_data = dec.result()
+    agree = (rx_data == np.asarray(ref.rx_data)).mean()
+    assert agree > 0.999, agree
+
+
+def test_track_channel_mode_validation():
+    from rub_mimo_tpu.config import CommMode
+
+    with pytest.raises(ValueError):
+        tiny_config(track_channel=True, mode=CommMode.SISO,
+                    pid_max=16).validate()
