@@ -55,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--bit-exact", action="store_true",
                        help="replicate the reference's estimator quirks")
         p.add_argument("--correct-cfo", action="store_true")
+        p.add_argument("--sync-fallback", action="store_true",
+                       help="S0-xcorr sync fallback for low-SNR captures")
+        p.add_argument("--track-phase", action="store_true",
+                       help="decision-directed common-phase tracking")
+        p.add_argument("--track-channel", action="store_true",
+                       help="decision-directed per-subcarrier channel "
+                            "tracking (ZF-family modes)")
+        p.add_argument("--track-block-frames", type=int, default=16)
+        p.add_argument("--track-alpha", type=float, default=0.5)
         p.add_argument("--config", type=Path, default=None,
                        help="load a ModemConfig JSON (overrides flags)")
         p.add_argument("-v", "--verbose", action="store_true")
@@ -75,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--delay", type=int, default=5000)
     p_run.add_argument("--taps", type=int, default=1,
                        help=">1 for a frequency-selective channel")
+    p_run.add_argument("--drift", type=float, default=0.0,
+                       help="per-sample channel drift rate (each H entry "
+                            "rotates at drift * u, u ~ U(-1,1))")
     p_run.add_argument("--cfo", type=float, default=0.0,
                        help="channel CFO in subcarrier units")
     p_run.add_argument("--seed", type=int, default=42)
@@ -117,6 +129,11 @@ def _config_from_args(args):
         mode=CommMode(args.mode),
         bit_exact=args.bit_exact,
         correct_cfo=args.correct_cfo,
+        sync_fallback=args.sync_fallback,
+        track_phase=args.track_phase,
+        track_channel=args.track_channel,
+        track_block_frames=args.track_block_frames,
+        track_alpha=args.track_alpha,
         center_frequency=args.freq,
         sample_rate=args.rate,
         baseband_gain=args.dsp_gain,
@@ -210,6 +227,7 @@ def main(argv=None):
             snr_db=args.snr, delay=args.delay,
             flat=args.taps <= 1, num_taps=args.taps,
             cfo_subcarriers=args.cfo, seed=args.seed,
+            drift_rate=args.drift,
         )
         for i in range(args.repeat):
             sp = simulator.ChannelSpec(

@@ -236,10 +236,13 @@ def _payload_stage(
     x_t = wins[:, :, cfg.cp_len :]
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
     Y = X[:, :, occ_idx]  # [nloc, S, m_occ]
-    if cfg.mode == CommMode.ALAMOUTI:
-        # pairs span adjacent symbols (possibly different shards): emit the
-        # RAW frequency-domain symbols; combining/postprocessing happens on
-        # the assembled global grid (build_sharded_decoder.run)
+    if cfg.mode == CommMode.ALAMOUTI or cfg.track_channel:
+        # Alamouti pairs span adjacent symbols (possibly different shards)
+        # and channel tracking is sequential across payload blocks: both
+        # emit the RAW frequency-domain symbols; combining / the tracking
+        # scan / postprocessing happen on the assembled global grid
+        # (build_sharded_decoder.run) — the expensive CP-strip+FFT work
+        # stays sharded, the cheap sequential tail runs replicated.
         dest = jnp.where(owned, ks, jnp.int32(cfg.pid_max))
         local_out = jnp.zeros(
             (cfg.pid_max + 1, S, m_occ), dtype=jnp.complex64
@@ -272,11 +275,6 @@ def _payload_stage(
 def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
     """jit-compiled sharded decoder for [streams, T] captures placed with
     parallel.mesh.shard_capture (T must be a multiple of the 'time' size)."""
-    if cfg.track_channel:
-        raise NotImplementedError(
-            "track_channel is sequential across payload blocks; use the "
-            "offline or streaming decode"
-        )
     S = cfg.num_streams
     M = cfg.M
     sym = cfg.symbol_len
@@ -402,6 +400,20 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
 
             dec1 = alamouti_mod.combine_pairs(out, G_occ)  # [pid, m_occ]
             eqg = jnp.zeros_like(out).at[:, 0, :].set(dec1)
+            out = postprocess_eq(eqg, cfg)
+        elif cfg.track_channel:
+            # identical lax.scan to the offline tracker over the identical
+            # assembled Y grid -> bit-equal decisions (pipeline.rx:188-194);
+            # the scan is batched [m_occ, S, S] solves, negligible next to
+            # the sharded FFTs, so running it replicated costs nothing.
+            from rub_mimo_tpu.detect import tracking
+            from rub_mimo_tpu.detect.postprocess import postprocess_eq
+
+            eqg, _ = tracking.track_and_equalize(
+                out, G_occ, cfg,
+                block_frames=cfg.track_block_frames,
+                alpha=cfg.track_alpha,
+            )
             out = postprocess_eq(eqg, cfg)
         rx_sig = jnp.moveaxis(out, 0, 1).reshape(S, cfg.pid_max * m_occ)
         rx_data = constellation.demodulate(rx_sig, cfg.modulation)

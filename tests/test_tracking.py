@@ -95,6 +95,35 @@ def test_streaming_tracking_static_matches_offline_decisions():
     assert agree > 0.999, agree
 
 
+def test_sharded_tracking_matches_offline():
+    """track_channel in the SHARDED decoder: the raw frequency-domain grid
+    is assembled across time shards (FFT work sharded) and the tracking
+    scan runs replicated — identical scan over an identical grid, so the
+    demodulated decisions must match offline exactly, and the drift must
+    be recovered."""
+    from rub_mimo_tpu.config import Modulation
+    from rub_mimo_tpu.parallel import decode_sharded, mesh as mesh_mod
+
+    base = dict(bit_exact=False, pid_max=160, modulation=Modulation.QAM16)
+    cfg = tiny_config(track_channel=True, track_block_frames=8,
+                      track_alpha=0.6, **base)
+    cap, tx_data, _ = _drift_capture(cfg, 1e-5)
+    ref = rx.decode(cap, cfg)
+
+    m = mesh_mod.make_mesh(4, 1)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+
+    assert bool(got.synced) and bool(ref.synced)
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
+    n = cfg.pid_max * cfg.M_occupied
+    ser = (np.asarray(got.rx_data)[:, :n] != tx_data[:, :n]).mean(axis=1) * 100
+    assert max(ser) < 2.0, ser
+
+
 def test_track_channel_mode_validation():
     from rub_mimo_tpu.config import CommMode
 
