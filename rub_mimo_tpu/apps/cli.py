@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--delay", type=int, default=5000)
     p_run.add_argument("--taps", type=int, default=1,
                        help=">1 for a frequency-selective channel")
+    p_run.add_argument("--fec", default="none", choices=["none", "conv_k7"],
+                       help="forward error correction: rate-1/2 K=7 "
+                            "convolutional code with soft Viterbi decoding")
     p_run.add_argument("--drift", type=float, default=0.0,
                        help="per-sample channel drift rate (each H entry "
                             "rotates at drift * u, u ~ U(-1,1))")
@@ -233,8 +236,28 @@ def main(argv=None):
             sp = simulator.ChannelSpec(
                 **{**spec.__dict__, "seed": spec.seed + i}
             )
-            cap, tx_data, h = simulator.simulate_capture(cfg, sp)
+            msg_bits = None
+            txd = None
+            if args.fec != "none":
+                from rub_mimo_tpu.ofdm import fec
+
+                msg_bits, txd = fec.encode_payload(cfg, seed=args.seed + i)
+            cap, tx_data, h = simulator.simulate_capture(
+                cfg, sp, tx_data=txd, payload_seed=args.seed + i
+            )
             result, rep = _decode_and_report(cfg, cap, tx_data, args)
+            if msg_bits is not None:
+                from rub_mimo_tpu.ofdm import fec
+                from rub_mimo_tpu.utils.transfer import to_host
+
+                dec = fec.decode_payload(result.rx_sig, cfg)
+                ber = (to_host(dec) != msg_bits).mean(axis=1)
+                if not args.quiet:
+                    for lane, b in enumerate(ber):
+                        print(f"    coded BER lane {lane}      : "
+                              f"{b * 100:.6f}%")
+                    print(f"    info bits / lane        : "
+                          f"{msg_bits.shape[1]}")
             if args.precoded:
                 import jax.numpy as jnp
 
