@@ -168,6 +168,31 @@ def symbols_to_bits(symbols: jax.Array, modulation: Modulation) -> jax.Array:
     return bits.reshape(*symbols.shape[:-1], -1).astype(jnp.int32)
 
 
+# ------------------------------------------------------- interleaving
+@functools.lru_cache(maxsize=None)
+def _interleave_perm(n: int, spread: int) -> np.ndarray:
+    """Stride permutation: out[i] = in[perm[i]] with perm[i] = (i * s) % n
+    for the smallest s >= spread coprime to n — adjacent coded bits land
+    ~s positions apart, so a burst of b bad symbols touches trellis
+    positions spaced far beyond the K=7 memory."""
+    s = max(int(spread), 1)
+    while np.gcd(s, n) != 1:
+        s += 1
+    return (np.arange(n, dtype=np.int64) * s) % n
+
+
+def interleave(bits: jax.Array, spread: int) -> jax.Array:
+    """[..., n] -> [..., n] stride interleaver (pair with deinterleave)."""
+    perm = _interleave_perm(bits.shape[-1], spread)
+    return bits[..., perm]
+
+
+def deinterleave(x: jax.Array, spread: int) -> jax.Array:
+    perm = _interleave_perm(x.shape[-1], spread)
+    inv = np.argsort(perm)
+    return x[..., inv]
+
+
 # ----------------------------------------------------- payload plumbing
 def _lanes(cfg: ModemConfig) -> Tuple[list, list]:
     """(tx lanes carrying data, rx output lanes) — mirrors the one-
@@ -191,12 +216,19 @@ def message_bits_per_stream(cfg: ModemConfig) -> int:
     return n_coded // RATE_DEN - TAIL
 
 
-def encode_payload(cfg: ModemConfig, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+INTERLEAVE_SPREAD = 127
+
+
+def encode_payload(
+    cfg: ModemConfig, seed: int = 0, *, interleave_bits: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
     """Random coded payload: returns (msg_bits [n_lanes, n_msg] int32,
     tx_data [num_streams, pid_max * M_occupied] int32 symbols) where
     n_lanes follows the mode's logical-stream convention.  Coded bits
     beyond an exact symbol multiple are zero-padded (and simply unused by
-    the decoder)."""
+    the decoder).  interleave_bits spreads adjacent coded bits across
+    far-apart payload symbols so per-subcarrier fades decorrelate at the
+    trellis (on by default; decode_payload must match)."""
     rng = np.random.default_rng(seed)
     n_sym = cfg.pid_max * cfg.M_occupied
     bps = cfg.modulation.bits_per_symbol
@@ -208,6 +240,10 @@ def encode_payload(cfg: ModemConfig, seed: int = 0) -> Tuple[np.ndarray, np.ndar
     coded = np.asarray(conv_encode(jnp.asarray(msg)))  # [L, 2*(n+TAIL)]
     pad = n_sym * bps - coded.shape[-1]
     coded = np.pad(coded, ((0, 0), (0, pad)))
+    if interleave_bits:
+        coded = np.asarray(
+            interleave(jnp.asarray(coded), INTERLEAVE_SPREAD)
+        )
     syms = np.asarray(bits_to_symbols(jnp.asarray(coded), cfg.modulation))
     tx_data = np.zeros((cfg.num_streams, n_sym), dtype=np.int32)
     tx_data[tx_lanes] = syms
@@ -215,11 +251,12 @@ def encode_payload(cfg: ModemConfig, seed: int = 0) -> Tuple[np.ndarray, np.ndar
 
 
 def decode_payload(
-    rx_sig: jax.Array, cfg: ModemConfig, noise_var: float | jax.Array = 1.0
+    rx_sig: jax.Array, cfg: ModemConfig,
+    noise_var: float | jax.Array = 1.0, *, interleave_bits: bool = True
 ) -> jax.Array:
     """Equalized symbols [S, pid_max * M_occupied] -> decoded message bits
-    [S, n_msg]: soft max-log-MAP LLRs, strip the zero-bit padding, batched
-    Viterbi."""
+    [S, n_msg]: soft max-log-MAP LLRs, deinterleave, strip the zero-bit
+    padding, batched Viterbi."""
     from rub_mimo_tpu.ofdm import constellation
 
     _, rx_lanes = _lanes(cfg)
@@ -228,6 +265,8 @@ def decode_payload(
         y, cfg.modulation, noise_var
     )                                                # [L, n_sym, bps]
     llrs = llrs.reshape(len(rx_lanes), -1)
+    if interleave_bits:
+        llrs = deinterleave(llrs, INTERLEAVE_SPREAD)
     n_msg = message_bits_per_stream(cfg)
     used = 2 * (n_msg + TAIL)
     return viterbi_decode(llrs[:, :used])
