@@ -98,6 +98,35 @@ def mimo_4x4_wideband(**kw) -> Tuple[ModemConfig, ChannelSpec]:
     return cfg, spec
 
 
+def wifi_like(**kw) -> Tuple[ModemConfig, ChannelSpec]:
+    """An 802.11a-shaped PHY assembled from the framework's pieces:
+    64 subcarriers with guard bands + pilots (use_all_carriers=False),
+    16-sample CP, 16-QAM, CFO correction, S0 fallback acquisition.
+    Pair the payload with ofdm.fec (rate-1/2 K=7 + interleaver — the
+    actual 802.11a code) via fec.encode_payload/decode_payload for the
+    full coded chain."""
+    base = dict(
+        num_subcarriers=64,
+        cp_len=16,
+        num_streams=1,
+        mode=CommMode.SISO,
+        siso_tx=0,
+        siso_rx=0,
+        num_access_codes=4,
+        use_all_carriers=False,
+        modulation=Modulation.QAM16,
+        correct_cfo=True,
+        sync_fallback=True,
+        bit_exact=False,
+        pid_max=100,
+    )
+    base.update(kw)
+    cfg = ModemConfig(**base)
+    spec = ChannelSpec(snr_db=22.0, delay=777, cfo_subcarriers=0.03,
+                       flat=False, num_taps=3, seed=7)
+    return cfg, spec
+
+
 PRESETS: Dict[str, callable] = {
     "siso_loopback": siso_loopback,
     "siso_capture": siso_capture,
@@ -105,6 +134,7 @@ PRESETS: Dict[str, callable] = {
     "mimo_2x2_reference": mimo_2x2_reference,
     "mimo_2x2_mmse": mimo_2x2_mmse,
     "mimo_4x4_wideband": mimo_4x4_wideband,
+    "wifi_like": wifi_like,
 }
 
 

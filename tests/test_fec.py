@@ -162,6 +162,23 @@ def test_encode_payload_single_lane_modes():
     assert (txd[1] == 0).all()  # lane 1 carries no independent data
 
 
+def test_wifi_like_preset_coded_chain():
+    """The 802.11a-shaped preset end to end: guard bands + pilots + CFO +
+    selective channel + rate-1/2 coded 16-QAM payload."""
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.models import presets
+    from rub_mimo_tpu.pipeline import rx
+
+    cfg, spec = presets.get("wifi_like", pid_max=48)
+    msg, txd = fec.encode_payload(cfg, seed=9)
+    cap, _, _ = simulator.simulate_capture(cfg, spec, tx_data=txd)
+    r = rx.decode(cap, cfg)
+    assert bool(r.synced)
+    dec = np.asarray(fec.decode_payload(r.rx_sig, cfg))
+    ber = (dec != msg).mean()
+    assert ber < 1e-3, ber
+
+
 def test_cli_fec_flag():
     from rub_mimo_tpu.apps import cli
 
