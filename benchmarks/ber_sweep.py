@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="shrink to M=64 for fast CPU sweeps")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--fec", action="store_true",
+                    help="also sweep the rate-1/2 K=7 coded payload "
+                         "(adds a coded_ber column)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("-o", "--out", default=None)
     args = ap.parse_args()
@@ -64,13 +67,20 @@ def main():
 
     rows = []
     for snr in args.snrs:
-        sers, bers, evms, syncs = [], [], [], 0
+        sers, bers, evms, cbers, syncs = [], [], [], [], 0
         for t in range(args.trials):
             spec = dataclasses.replace(base_spec, snr_db=snr,
                                        seed=base_spec.seed + 97 * t)
-            cap, tx_data, _ = simulator.simulate_capture(cfg, spec,
-                                                         payload_seed=t)
-            rep = report.score(rx.decode(cap, cfg), tx_data, cfg)
+            msg = txd = None
+            if args.fec:
+                from rub_mimo_tpu.ofdm import fec
+
+                msg, txd = fec.encode_payload(cfg, seed=t)
+            cap, tx_data, _ = simulator.simulate_capture(
+                cfg, spec, tx_data=txd, payload_seed=t
+            )
+            result = rx.decode(cap, cfg)
+            rep = report.score(result, tx_data, cfg)
             if not rep.synced:
                 continue
             syncs += 1
@@ -78,6 +88,11 @@ def main():
             bers.append(max(rep.bit_error_rate))
             if rep.evm_percent:
                 evms.append(max(rep.evm_percent))
+            if args.fec:
+                from rub_mimo_tpu.utils.transfer import to_host
+
+                dec = to_host(fec.decode_payload(result.rx_sig, cfg))
+                cbers.append(float((dec != msg).mean()))
         row = {
             "snr_db": snr,
             "sync_rate": syncs / args.trials,
@@ -85,6 +100,8 @@ def main():
             "ber": float(np.mean(bers)) if bers else None,
             "evm_percent": float(np.mean(evms)) if evms else None,
         }
+        if args.fec:
+            row["coded_ber"] = float(np.mean(cbers)) if cbers else None
         if cfg.modulation.value == "qpsk":
             row["ser_theory_awgn"] = qpsk_ser_theory(snr)
         rows.append(row)
