@@ -1,0 +1,95 @@
+"""Joint maximum-likelihood MIMO detection — brute force on the MXU.
+
+The optimal detector the reference's ZF approximates (framing.cc:1344-1367
+inverts the channel; ML searches it): per subcarrier and OFDM symbol,
+
+    s_hat = argmin_{s in A^T} | y - G s |^2
+
+over ALL constellation combinations of the T tx streams.  On a CPU this
+is the textbook "too expensive" detector; on TPU the search is one
+batched complex matmul + argmin:
+
+    |y - Gs|^2 = |y|^2 - 2 Re(y^H G s) + |G s|^2
+
+|y|^2 is combo-independent, |Gs|^2 is symbol-independent (precomputed per
+subcarrier), and the cross term for every (symbol, subcarrier, combo) at
+once is a single einsum contracted over rx antennas.  Candidate count is
+arity^T (<= 4096 enforced by config.validate: up to 2x2 64-QAM or 32-ary,
+3x3 16-QAM, 4x4 QPSK...); symbols are processed in fixed-size blocks via
+lax.map to bound the [block, n_sc, combos] score tensor in HBM.
+
+Gains over ZF/MMSE are largest on ill-conditioned channels, where
+inversion amplifies noise but the lattice search does not.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rub_mimo_tpu.config import ModemConfig
+from rub_mimo_tpu.ofdm import constellation
+
+
+@functools.lru_cache(maxsize=None)
+def _combo_table(mod_value: str, n_tx: int):
+    """(points [C, n_tx] complex64, indices [C, n_tx] int32) for all
+    arity^n_tx candidate tx vectors."""
+    from rub_mimo_tpu.config import Modulation
+
+    t = constellation.table(Modulation(mod_value))
+    arity = len(t)
+    grids = np.meshgrid(*([np.arange(arity)] * n_tx), indexing="ij")
+    idx = np.stack([g.reshape(-1) for g in grids], axis=-1)  # [C, n_tx]
+    pts = t[idx].astype(np.complex64)
+    return pts, idx.astype(np.int32)
+
+
+def ml_detect(
+    Y: jax.Array, G_occ: jax.Array, cfg: ModemConfig, block: int = 16
+) -> jax.Array:
+    """ML symbol decisions.
+
+    Y: [n_sym, rx, n_sc] received frequency-domain symbols
+    G_occ: [n_sc, rx, tx]
+    returns indices [n_sym, tx, n_sc] int32 (per-stream symbol decisions).
+    """
+    n_sym, _, n_sc = Y.shape
+    n_tx = G_occ.shape[-1]
+    pts, idx = _combo_table(cfg.modulation.value, n_tx)
+    pts_j = jnp.asarray(pts)
+    idx_j = jnp.asarray(idx)
+
+    GS = jnp.einsum("krt,ct->krc", G_occ, pts_j)     # [n_sc, rx, C]
+    e = jnp.sum(jnp.abs(GS) ** 2, axis=1)            # [n_sc, C]
+
+    nb = -(-n_sym // block)
+    pad = nb * block - n_sym
+    Yp = jnp.pad(Y, ((0, pad), (0, 0), (0, 0))).reshape(
+        nb, block, *Y.shape[1:]
+    )
+
+    def one_block(yb):                               # [block, rx, n_sc]
+        dot = jnp.real(
+            jnp.einsum("nrk,krc->nkc", jnp.conj(yb), GS)
+        )                                            # [block, n_sc, C]
+        best = jnp.argmin(e[None] - 2.0 * dot, axis=-1)
+        return idx_j[best]                           # [block, n_sc, n_tx]
+
+    out = jax.lax.map(one_block, Yp)                 # [nb, block, n_sc, tx]
+    out = out.reshape(nb * block, n_sc, n_tx)[:n_sym]
+    return jnp.moveaxis(out, -1, 1).astype(jnp.int32)  # [n_sym, tx, n_sc]
+
+
+def ml_equalize(
+    Y: jax.Array, G_occ: jax.Array, cfg: ModemConfig, block: int = 16
+) -> jax.Array:
+    """ML decisions remodulated to constellation points, shaped like the
+    linear equalizers' output [n_sym, tx, n_sc] (so scoring/demap
+    downstream see the decided symbols exactly)."""
+    d = ml_detect(Y, G_occ, cfg, block=block)
+    t = jnp.asarray(constellation.table(cfg.modulation))
+    return t[d]

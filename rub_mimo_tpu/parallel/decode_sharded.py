@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rub_mimo_tpu.config import CommMode, ModemConfig
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
 from rub_mimo_tpu.detect import siso as siso_mod
 from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
@@ -256,6 +256,10 @@ def _payload_stage(
 
         comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
         eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
+    elif cfg.detector == Detector.ML:
+        from rub_mimo_tpu.detect import ml as ml_mod
+
+        eq = ml_mod.ml_equalize(Y, G_occ, cfg)
     else:
         eq = zf_mod.equalize(Y, W, gain)
     from rub_mimo_tpu.detect.postprocess import postprocess_eq

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rub_mimo_tpu.config import CommMode, ModemConfig
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
 from rub_mimo_tpu.detect import siso as siso_mod
 from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
@@ -185,6 +185,10 @@ def decode(
         dec1 = alamouti_mod.combine_pairs(Y, G_occ)  # [n_sym, m_occ]
         eq = jnp.zeros_like(Y)
         eq = eq.at[:, 0, :].set(dec1)
+    elif cfg.detector == Detector.ML:
+        from rub_mimo_tpu.detect import ml as ml_mod
+
+        eq = ml_mod.ml_equalize(Y, G_occ, cfg)
     elif cfg.track_channel:
         from rub_mimo_tpu.detect import tracking
 

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rub_mimo_tpu.config import CommMode, ModemConfig
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
 from rub_mimo_tpu.detect import siso as siso_mod
 from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
@@ -209,6 +209,10 @@ class StreamingDecoder:
 
                 comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
                 eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
+            elif cfg.detector == Detector.ML:
+                from rub_mimo_tpu.detect import ml as ml_mod
+
+                eq = ml_mod.ml_equalize(Y, G_occ, cfg)
             else:
                 eq = zf_mod.equalize(Y, W, gain)
             from rub_mimo_tpu.detect.postprocess import postprocess_eq
