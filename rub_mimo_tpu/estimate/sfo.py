@@ -1,0 +1,134 @@
+"""Sampling-frequency-offset estimation and correction.
+
+SFO (TX/RX sampling clocks differing by delta = ppm * 1e-6) makes each
+successive OFDM symbol's FFT window slide by delta * symbol_len samples,
+which appears as a per-subcarrier phase ramp growing linearly with BOTH
+the frame index n and the (signed) subcarrier index k:
+
+    phase(n, k) ~= 2*pi * delta * k * n * symbol_len / M  (+ CPE terms)
+
+The reference sidesteps SFO entirely by wiring both radios to one 10 MHz
+reference (mimo/main.cc:270-276); a replay framework must estimate it
+from the data.  Estimator: decision-directed, differential in n (no
+unwrapping needed) — for each subcarrier, average r[n+1] * conj(r[n])
+of the decision residuals r = y * conj(s_hat) over frames and streams,
+then fit the resulting per-subcarrier phase increment against k with a
+weighted LS that includes an intercept (so common phase error / residual
+CFO, which is constant in k, does not bias the slope).
+
+Correction: resample the capture by 1/(1+delta) (utils.resample) and
+decode again — a cheap two-pass flow since decode is ~0.1 ms on chip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rub_mimo_tpu.config import ModemConfig
+from rub_mimo_tpu.ofdm import constellation, sctype
+
+
+def estimate_sfo(
+    rx_sig: jax.Array,
+    cfg: ModemConfig,
+    n_frames: int | None = None,
+    decisions: jax.Array | None = None,
+) -> jax.Array:
+    """Estimate delta (fractional clock offset; ppm = delta * 1e6) from a
+    decoded run's equalized symbols rx_sig [S, pid_max * M_occupied]
+    (equalized with the STATIC preamble estimate, so the ramp is intact).
+
+    Decision-directed: by default decisions come from rx_sig itself,
+    which is only reliable while the accumulated ramp stays inside the
+    decision margin (limit the fit with n_frames for that regime).  For
+    large offsets pass `decisions` from a tracking decode
+    (track_channel=True follows the ramp, so its decisions stay good
+    across the whole run) — decode_with_sfo wires this up.
+    """
+    S = rx_sig.shape[0]
+    m_occ = cfg.M_occupied
+    y = rx_sig.reshape(S, cfg.pid_max, m_occ)
+    if decisions is None:
+        d = constellation.demodulate(y, cfg.modulation)
+    else:
+        d = decisions.reshape(S, cfg.pid_max, m_occ)
+    if n_frames is not None:
+        y = y[:, : int(n_frames)]
+        d = d[:, : int(n_frames)]
+    s_hat = jnp.asarray(constellation.table(cfg.modulation))[d]
+    r = y * jnp.conj(s_hat)                     # decision residuals
+
+    # differential across frames, averaged over streams and frames
+    z = jnp.sum(r[:, 1:, :] * jnp.conj(r[:, :-1, :]), axis=(0, 1))  # [m_occ]
+    dphi = jnp.angle(z)
+    w = jnp.abs(z)
+
+    occ = sctype.occupied_indices(cfg.subcarrier_allocation())
+    k_np = ((np.asarray(occ) + cfg.M // 2) % cfg.M) - cfg.M // 2
+    k = jnp.asarray(k_np, jnp.float32)
+    # the Nyquist bin (k = -M/2) aliases its shift phase (e^{-j pi tau}
+    # flips sign per whole-sample slip) — exclude it from the fit
+    w = w * jnp.asarray(k_np != -(cfg.M // 2), jnp.float32)
+
+    # weighted LS fit dphi ~= a + b*k (intercept absorbs CPE/residual CFO)
+    w0 = jnp.sum(w)
+    wk = jnp.sum(w * k)
+    wkk = jnp.sum(w * k * k)
+    wp = jnp.sum(w * dphi)
+    wkp = jnp.sum(w * k * dphi)
+    det = w0 * wkk - wk * wk
+    b = (w0 * wkp - wk * wp) / jnp.where(det == 0, 1.0, det)
+
+    # b = 2*pi * delta * symbol_len / M  (per frame, per subcarrier unit)
+    return b * cfg.M / (2.0 * jnp.pi * cfg.symbol_len)
+
+
+def correct_sfo(iq: jax.Array, delta: float | jax.Array) -> jax.Array:
+    """Undo rx[t] = s(t * (1 + delta)): resample at t / (1 + delta)."""
+    from rub_mimo_tpu.utils.resample import resample_bandlimited
+
+    return resample_bandlimited(
+        iq, 1.0 / (1.0 + jnp.asarray(delta, jnp.float32))
+    )
+
+
+def decode_with_sfo(
+    iq: jax.Array, cfg: ModemConfig, *, iters: int = 2,
+    track_block_frames: int | None = None,
+):
+    """SFO-corrected decode (full-MIMO ZF-family modes).
+
+    Each pass: (1) decode with decision-directed channel tracking, whose
+    per-block refits follow the SFO ramp, yielding reliable symbol
+    decisions across the whole run; (2) decode statically and fit the
+    intact per-(frame, subcarrier) phase ramp against those decisions;
+    (3) resample the capture by 1/(1+delta).  A second pass refines the
+    estimate on the nearly-corrected capture.  Returns
+    (final static DecodeResult, delta_total); each pass costs two decodes
+    (~0.1 ms each on chip at the reference operating point)."""
+    from rub_mimo_tpu.pipeline import rx as rx_mod
+
+    bf = track_block_frames
+    if bf is None:
+        # small blocks: the tracker must out-pace the within-block ramp
+        bf = min(cfg.track_block_frames, 4)
+        while cfg.pid_max % bf:
+            bf -= 1
+    cfg_track = cfg.replace(
+        track_channel=False, detector=cfg.detector
+    ).replace(track_channel=True, track_block_frames=bf)
+    if cfg.detector.value == "ml":
+        # tracking refits through the linear equalizer
+        cfg_track = cfg_track.replace(detector=type(cfg.detector)("zf"))
+
+    delta_total = jnp.float32(0.0)
+    result = rx_mod.decode(iq, cfg)
+    for _ in range(iters):
+        tracked = rx_mod.decode(iq, cfg_track)
+        d = estimate_sfo(result.rx_sig, cfg, decisions=tracked.rx_data)
+        delta_total = delta_total + d
+        iq = correct_sfo(iq, d)
+        result = rx_mod.decode(iq, cfg)
+    return result, delta_total

@@ -33,6 +33,9 @@ class ChannelSpec:
     delay: int = 1000           # leading samples before the frame (timing offset)
     trailing: int = 2048        # trailing samples after the frame
     cfo_subcarriers: float = 0.0  # CFO in subcarrier-spacing units
+    # sampling-frequency offset between TX and RX clocks, in parts-per-
+    # million: the receiver observes s(t * (1 + sfo_ppm * 1e-6))
+    sfo_ppm: float = 0.0
     # per-element phase drift in cycles/sample (time-varying flat channel;
     # each H entry rotates at rate drift_rate * u with u ~ U(-1, 1))
     drift_rate: float = 0.0
@@ -105,6 +108,12 @@ def apply_channel(
             raise ValueError("cfo requires cfg for subcarrier spacing")
         n = jnp.arange(y.shape[-1], dtype=jnp.float32)
         y = y * jnp.exp(2j * jnp.pi * spec.cfo_subcarriers * n / cfg.M)[None, :]
+
+    # sampling-clock offset: resample at t * (1 + delta)
+    if spec.sfo_ppm != 0.0:
+        from rub_mimo_tpu.utils.resample import resample_bandlimited
+
+        y = resample_bandlimited(y, 1.0 + spec.sfo_ppm * 1e-6)
 
     # timing offset + trailing
     y = jnp.pad(y, ((0, 0), (spec.delay, spec.trailing)))
