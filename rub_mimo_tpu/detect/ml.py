@@ -84,6 +84,62 @@ def ml_detect(
     return jnp.moveaxis(out, -1, 1).astype(jnp.int32)  # [n_sym, tx, n_sc]
 
 
+def ml_soft_llrs(
+    Y: jax.Array,
+    G_occ: jax.Array,
+    cfg: ModemConfig,
+    noise_var: float | jax.Array = 1.0,
+    block: int = 16,
+) -> jax.Array:
+    """Max-log-MAP bit LLRs from the JOINT lattice search (soft-output
+    ML): llr_j = (min_{c: bit_j=1} |y-Gc|^2 - min_{c: bit_j=0} ...)/nv,
+    minimized over the full combo set — unlike per-stream LLRs after a
+    linear equalizer, inter-stream interference is marginalized exactly
+    (max-log).  Same convention as constellation.soft_demodulate_llr
+    (positive -> bit 0, bits MSB-first per symbol, per stream).
+
+    Y: [n_sym, rx, n_sc] -> llrs [n_sym, tx, n_sc, bits_per_symbol].
+    """
+    n_sym, _, n_sc = Y.shape
+    n_tx = G_occ.shape[-1]
+    bps = cfg.modulation.bits_per_symbol
+    pts, idx = _combo_table(cfg.modulation.value, n_tx)
+    pts_j = jnp.asarray(pts)
+    # bit matrix: combo -> [n_tx * bps] bits, MSB-first within each stream
+    shifts = np.arange(bps - 1, -1, -1)
+    bits = ((idx[:, :, None] >> shifts[None, None, :]) & 1)  # [C, tx, bps]
+    bit1 = jnp.asarray(
+        bits.reshape(bits.shape[0], -1).astype(bool)
+    )                                                        # [C, tx*bps]
+
+    GS = jnp.einsum("krt,ct->krc", G_occ, pts_j)
+    e = jnp.sum(jnp.abs(GS) ** 2, axis=1)                    # [n_sc, C]
+
+    nb = -(-n_sym // block)
+    pad = nb * block - n_sym
+    Yp = jnp.pad(Y, ((0, pad), (0, 0), (0, 0))).reshape(
+        nb, block, *Y.shape[1:]
+    )
+    inf = jnp.float32(3e38)
+
+    # expand a bit axis via where on [b, n_sc, C, nbits], min over C
+    def one_block(yb):
+        d2 = (
+            jnp.sum(jnp.abs(yb) ** 2, axis=1)[:, :, None]
+            - 2.0 * jnp.real(jnp.einsum("nrk,krc->nkc", jnp.conj(yb), GS))
+            + e[None]
+        )                                                    # [b, n_sc, C]
+        d2e = d2[..., None]                                  # [b,n_sc,C,1]
+        m1 = jnp.min(jnp.where(bit1[None, None], d2e, inf), axis=-2)
+        m0 = jnp.min(jnp.where(~bit1[None, None], d2e, inf), axis=-2)
+        return m1 - m0                                       # [b,n_sc,tx*bps]
+
+    out = jax.lax.map(one_block, Yp).reshape(nb * block, n_sc, n_tx * bps)
+    out = out[:n_sym].reshape(n_sym, n_sc, n_tx, bps)
+    llrs = jnp.moveaxis(out, 1, 2)                           # [n,tx,n_sc,bps]
+    return llrs / jnp.asarray(noise_var, jnp.float32)
+
+
 def ml_equalize(
     Y: jax.Array, G_occ: jax.Array, cfg: ModemConfig, block: int = 16
 ) -> jax.Array:

@@ -264,9 +264,43 @@ def decode_payload(
     llrs = constellation.soft_demodulate_llr(
         y, cfg.modulation, noise_var
     )                                                # [L, n_sym, bps]
-    llrs = llrs.reshape(len(rx_lanes), -1)
+    return _decode_from_llrs(
+        llrs.reshape(len(rx_lanes), -1), cfg, interleave_bits
+    )
+
+
+def _decode_from_llrs(
+    llrs: jax.Array, cfg: ModemConfig, interleave_bits: bool
+) -> jax.Array:
+    """[L, n_coded] LLRs in TX wire order -> message bits [L, n_msg]."""
     if interleave_bits:
         llrs = deinterleave(llrs, INTERLEAVE_SPREAD)
     n_msg = message_bits_per_stream(cfg)
     used = 2 * (n_msg + TAIL)
     return viterbi_decode(llrs[:, :used])
+
+
+def decode_payload_ml(
+    result, cfg: ModemConfig,
+    noise_var: float | jax.Array = 1.0, *, interleave_bits: bool = True
+) -> jax.Array:
+    """Coded decode with JOINT soft-output ML demodulation: LLRs come from
+    detect.ml.ml_soft_llrs over the raw payload grid (result.Y, kept by
+    pipeline.rx.decode when cfg.detector == Detector.ML), marginalizing
+    inter-stream interference in the lattice instead of after a linear
+    equalizer.  Full-MIMO modes only (every lane carries data)."""
+    from rub_mimo_tpu.detect import ml as ml_mod
+    from rub_mimo_tpu.ofdm import sctype
+
+    if result.Y is None:
+        raise ValueError(
+            "result.Y missing: decode with cfg.detector == Detector.ML"
+        )
+    occ = jnp.asarray(
+        sctype.occupied_indices(cfg.subcarrier_allocation())
+    )
+    G_occ = result.G[occ]
+    llrs = ml_mod.ml_soft_llrs(result.Y, G_occ, cfg, noise_var)
+    # [n_sym, tx, n_sc, bps] -> TX wire order [L, (frame, sc, bit)]
+    llrs = jnp.moveaxis(llrs, 1, 0).reshape(cfg.num_streams, -1)
+    return _decode_from_llrs(llrs, cfg, interleave_bits)

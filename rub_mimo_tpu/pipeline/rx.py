@@ -57,6 +57,10 @@ class DecodeResult(NamedTuple):
     symbol_valid: jax.Array      # bool[pid_max] — symbol fully inside capture
     metric: jax.Array | None     # float32[streams, T] when keep_debug
     mf_traces: jax.Array | None  # float32[streams, n_seq, symbol_len] "
+    Y: jax.Array | None = None   # complex64[n_sym, rx, m_occ] raw payload
+                                 # grid, kept when detector == ML so
+                                 # fec.decode_payload_ml can form joint
+                                 # soft LLRs from the lattice search
 
 
 def _extract_window(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
@@ -231,6 +235,7 @@ def decode(
         symbol_valid=symbol_valid,
         metric=sync.metric,
         mf_traces=mf.traces,
+        Y=Y if cfg.detector == Detector.ML else None,
     )
 
 

@@ -95,6 +95,54 @@ def test_ml_consistent_across_pipelines():
     assert agree > 0.999, agree
 
 
+def test_ml_soft_llrs_sign_matches_truth_noiseless():
+    """On a noiseless channel every LLR must point at the transmitted
+    bit (positive -> 0, negative -> 1, MSB-first)."""
+    rng = np.random.default_rng(0)
+    cfg = tiny_config(modulation=Modulation.QAM16, detector=Detector.ML)
+    n_sym, S, n_sc = 4, 2, 8
+    G = (rng.normal(size=(n_sc, S, S))
+         + 1j * rng.normal(size=(n_sc, S, S))).astype(np.complex64)
+    t = constellation.table(cfg.modulation)
+    tx_idx = rng.integers(0, 16, size=(n_sym, S, n_sc))
+    Y = np.einsum("krt,ntk->nrk", G, t[tx_idx]).astype(np.complex64)
+    llrs = np.asarray(
+        ml_mod.ml_soft_llrs(jnp.asarray(Y), jnp.asarray(G), cfg)
+    )
+    hard = (llrs < 0).astype(int)
+    bits_true = (tx_idx[..., None] >> np.arange(3, -1, -1)) & 1
+    np.testing.assert_array_equal(hard, bits_true)
+
+
+def test_ml_soft_llrs_rescue_coded_payload():
+    """Coded 2x2 on a near-rank-1 channel: per-stream LLRs after ZF are
+    hopeless, joint lattice LLRs decode almost clean."""
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.ofdm import fec, framegen
+    from rub_mimo_tpu.pipeline import rx
+
+    spec = simulator.ChannelSpec(snr_db=14.0, delay=300, seed=2)
+    h = simulator.draw_channel(spec, 2, 2)
+    h[1, :, 0] = h[0, :, 0] * 1.05 + 0.1
+    base = dict(bit_exact=False, plateau_threshold=0.5,
+                modulation=Modulation.QAM16, pid_max=32)
+    cfg_zf = tiny_config(**base)
+    msg, txd = fec.encode_payload(cfg_zf, seed=11)
+    tx = framegen.transmit_frame(cfg_zf, jnp.asarray(txd))
+    cap = simulator.apply_channel(tx, h, spec, cfg_zf)
+
+    r_zf = rx.decode(cap, cfg_zf)
+    ber_zf = (np.asarray(fec.decode_payload(r_zf.rx_sig, cfg_zf))
+              != msg).mean()
+    cfg_ml = tiny_config(detector=Detector.ML, **base)
+    r_ml = rx.decode(cap, cfg_ml)
+    assert r_ml.Y is not None
+    ber_ml = (np.asarray(fec.decode_payload_ml(r_ml, cfg_ml))
+              != msg).mean()
+    assert ber_zf > 0.1, ber_zf
+    assert ber_ml < 0.01, ber_ml
+
+
 def test_ml_validation():
     from rub_mimo_tpu.config import CommMode
 
