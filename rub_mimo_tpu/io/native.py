@@ -59,6 +59,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rmt_reader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.rmt_reader_next.restype = ctypes.c_int64
     lib.rmt_reader_close.argtypes = [ctypes.c_void_p]
+    lib.rmt_socket_open.argtypes = [
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32]
+    lib.rmt_socket_open.restype = ctypes.c_void_p
+    lib.rmt_socket_port.argtypes = [ctypes.c_void_p]
+    lib.rmt_socket_port.restype = ctypes.c_int32
+    lib.rmt_socket_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.rmt_socket_next.restype = ctypes.c_int64
+    lib.rmt_socket_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -175,6 +183,66 @@ class StreamReader:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------
+# live TCP IQ source
+# ---------------------------------------------------------------------
+class SocketReader:
+    """Receive complex64 IQ blocks from a TCP sender (the live-radio
+    analog of StreamReader: the reference's rx_worker recv loop,
+    mimo/main.cc:872-877, with the prefetch ring in native C++).
+
+    Binds 127.0.0.1 (port=0 auto-assigns; read .port), accepts ONE
+    sender; iteration yields blocks until the sender closes.  Requires
+    the native library (no Python fallback — this is a runtime feature,
+    not a numerics one; a pure-Python equivalent would just be the
+    socket stdlib).
+    """
+
+    def __init__(self, port: int = 0, block_samples: int = 1 << 16,
+                 n_buffers: int = 8):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native ingest library unavailable")
+        self.block_samples = block_samples
+        self.block_bytes = block_samples * 8
+        self._handle = self._lib.rmt_socket_open(
+            port, self.block_bytes, n_buffers
+        )
+        if not self._handle:
+            raise OSError(f"could not bind 127.0.0.1:{port}")
+        self.port = int(self._lib.rmt_socket_port(self._handle))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        buf = np.empty(self.block_bytes, dtype=np.uint8)
+        got = self._lib.rmt_socket_next(
+            self._handle, buf.ctypes.data_as(ctypes.c_void_p)
+        )
+        if got == 0:
+            raise StopIteration
+        n = (int(got) // 8) * 8  # whole complex64 samples only
+        return buf[:n].view(np.complex64)
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.rmt_socket_close(self._handle)
+            self._handle = None
 
     def __enter__(self):
         return self
