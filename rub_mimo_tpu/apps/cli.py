@@ -114,6 +114,18 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(p_tx)
     p_tx.add_argument("out_dir", type=Path)
     p_tx.add_argument("--seed", type=int, default=0)
+
+    p_ls = sub.add_parser(
+        "listen",
+        help="decode a live TCP IQ feed (sample-interleaved complex64 "
+             "across streams, like UHD's multi-channel wire)")
+    add_common(p_ls)
+    p_ls.add_argument("--port", type=int, default=0,
+                      help="TCP port on 127.0.0.1 (0 = auto-assign)")
+    p_ls.add_argument("--chunk", type=int, default=4096,
+                      help="streaming chunk size in samples/stream")
+    p_ls.add_argument("--tx-data", type=Path, default=None,
+                      help="optional tx_data files dir for scoring")
     return ap
 
 
@@ -315,6 +327,47 @@ def main(argv=None):
         ).save(args.out_dir / "manifest.json")
         if not args.quiet:
             print(f"wrote {sig.shape} to {args.out_dir}")
+    elif args.command == "listen":
+        from rub_mimo_tpu.io import native
+        from rub_mimo_tpu.pipeline import streaming
+
+        try:
+            reader = native.SocketReader(
+                port=args.port,
+                block_samples=args.chunk * cfg.num_streams,
+            )
+        except (RuntimeError, OSError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(f"listening on 127.0.0.1:{reader.port} "
+              f"({cfg.num_streams} streams, chunk {args.chunk})",
+              flush=True)
+        dec = streaming.StreamingDecoder(cfg, chunk_size=args.chunk)
+        n_rx = 0
+        for block in reader:
+            frame = block.reshape(-1, cfg.num_streams).T
+            chunk = np.zeros((cfg.num_streams, args.chunk), np.complex64)
+            chunk[:, : frame.shape[1]] = frame
+            dec.push(chunk)
+            n_rx += frame.shape[1]
+        reader.close()
+        dec.finalize()
+        if not args.quiet:
+            print(f"stream closed after {n_rx} samples/stream; "
+                  f"synced={dec.synced}")
+        if dec.synced:
+            rx_sig, rx_data = dec.result()
+            if args.tx_data is not None:
+                tx_data = np.stack([
+                    capio.read_data(args.tx_data / f"tx_data{s + 1}.dat")
+                    for s in range(cfg.num_streams)
+                ]).astype(np.int32)
+                n = min(tx_data.shape[1], rx_data.shape[1])
+                for s in range(cfg.num_streams):
+                    ser = (rx_data[s, :n] != tx_data[s, :n]).mean() * 100
+                    print(f"    symbol error rate      {s}: {ser:.6f}%")
+        elif args.tx_data is not None:
+            return 1
     return 0
 
 

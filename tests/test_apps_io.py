@@ -188,3 +188,51 @@ def test_cli_precoded_and_checkpoint(tmp_path):
     assert ckpt.exists()
     ck = checkpoint.load(ckpt)
     assert ck.synced
+
+
+def test_cli_listen_live_decode(tmp_path):
+    """`cli listen` end to end: spawn the listener process, stream a
+    capture to its TCP port, and check the scored report."""
+    import socket
+    import sys as _sys
+    from pathlib import Path
+
+    from rub_mimo_tpu.io import native
+    from rub_mimo_tpu.io import simulator
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=501, seed=11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    cap = np.asarray(cap)
+    for s in range(cfg.num_streams):
+        capio.write_data(tmp_path / f"tx_data{s + 1}.dat", tx_data[s])
+
+    proc = subprocess.Popen(
+        [_sys.executable, "-m", "rub_mimo_tpu.apps.cli", "listen",
+         "--cpu", "--num_subcarriers", "64", "--cp_len", "16",
+         "--num_access_codes", "4", "--frames", "8",
+         "--modulation", "qpsk", "--chunk", "512",
+         "--tx-data", str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(Path(__file__).resolve().parents[1]),
+    )
+    try:
+        line = ""
+        for _ in range(20):  # skip interpreter warnings on merged stderr
+            line = proc.stdout.readline()
+            if "listening on" in line or not line:
+                break
+        assert "listening on" in line, line
+        port = int(line.split(":")[1].split()[0])
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.sendall(np.ascontiguousarray(cap.T).tobytes())
+        s.close()
+        out, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "synced=True" in out, out
+    assert "symbol error rate      0: 0.0" in out, out
