@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--fec", default="none", choices=["none", "conv_k7"],
                        help="forward error correction: rate-1/2 K=7 "
                             "convolutional code with soft Viterbi decoding")
+    p_run.add_argument("--fec-rate", default="1/2",
+                       choices=["1/2", "2/3", "3/4"],
+                       help="802.11a punctured code rate (with --fec)")
     p_run.add_argument("--drift", type=float, default=0.0,
                        help="per-sample channel drift rate (each H entry "
                             "rotates at drift * u, u ~ U(-1,1))")
@@ -254,7 +257,9 @@ def main(argv=None):
             if args.fec != "none":
                 from rub_mimo_tpu.ofdm import fec
 
-                msg_bits, txd = fec.encode_payload(cfg, seed=args.seed + i)
+                msg_bits, txd = fec.encode_payload(
+                    cfg, seed=args.seed + i, rate=args.fec_rate
+                )
             cap, tx_data, h = simulator.simulate_capture(
                 cfg, sp, tx_data=txd, payload_seed=args.seed + i
             )
@@ -263,7 +268,9 @@ def main(argv=None):
                 from rub_mimo_tpu.ofdm import fec
                 from rub_mimo_tpu.utils.transfer import to_host
 
-                dec = fec.decode_payload(result.rx_sig, cfg)
+                dec = fec.decode_payload(
+                    result.rx_sig, cfg, rate=args.fec_rate
+                )
                 ber = (to_host(dec) != msg_bits).mean(axis=1)
                 if not args.quiet:
                     for lane, b in enumerate(ber):

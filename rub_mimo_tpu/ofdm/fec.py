@@ -40,9 +40,49 @@ from rub_mimo_tpu.config import ModemConfig, Modulation
 
 K = 7                      # constraint length
 POLYS = (0o171, 0o133)     # generator polynomials, MSB = current input
-RATE_DEN = 2               # rate 1/2
+RATE_DEN = 2               # mother code rate 1/2
 N_STATES = 1 << (K - 1)    # 64
 TAIL = K - 1
+
+# 802.11a puncturing patterns over the interleaved (A1 B1 A2 B2 ...) coded
+# stream; 1 = transmit, 0 = puncture (depunctured as zero-LLR at RX)
+PUNCTURE = {
+    "1/2": None,
+    "2/3": (1, 1, 1, 0),
+    "3/4": (1, 1, 1, 0, 0, 1),
+}
+
+
+def _kept_bits(L: int, rate: str) -> int:
+    """Punctured (transmitted) length of an L-bit mother-coded stream."""
+    pat = PUNCTURE[rate]
+    if pat is None:
+        return L
+    P = len(pat)
+    return (L // P) * sum(pat) + sum(pat[: L % P])
+
+
+def puncture(coded: jax.Array, rate: str) -> jax.Array:
+    """[..., L] mother-coded bits -> [..., kept] transmitted bits."""
+    pat = PUNCTURE[rate]
+    if pat is None:
+        return coded
+    L = coded.shape[-1]
+    mask = np.tile(np.asarray(pat, bool), -(-L // len(pat)))[:L]
+    return coded[..., np.flatnonzero(mask)]
+
+
+def depuncture_llrs(llrs: jax.Array, L: int, rate: str) -> jax.Array:
+    """[..., kept] received LLRs -> [..., L] with zero LLRs (erasures) at
+    the punctured positions."""
+    pat = PUNCTURE[rate]
+    if pat is None:
+        return llrs[..., :L]
+    mask = np.tile(np.asarray(pat, bool), -(-L // len(pat)))[:L]
+    out = jnp.zeros(llrs.shape[:-1] + (L,), llrs.dtype)
+    return out.at[..., np.flatnonzero(mask)].set(
+        llrs[..., : int(mask.sum())]
+    )
 
 
 def _parity(x: np.ndarray) -> np.ndarray:
@@ -208,19 +248,29 @@ def _lanes(cfg: ModemConfig) -> Tuple[list, list]:
     return list(range(cfg.num_streams)), list(range(cfg.num_streams))
 
 
-def message_bits_per_stream(cfg: ModemConfig) -> int:
-    """Message payload (info bits) per stream after rate-1/2 + tail +
-    symbol packing over the pid_max * M_occupied symbol budget."""
-    n_sym = cfg.pid_max * cfg.M_occupied
-    n_coded = n_sym * cfg.modulation.bits_per_symbol
-    return n_coded // RATE_DEN - TAIL
+def message_bits_per_stream(cfg: ModemConfig, rate: str = "1/2") -> int:
+    """Message payload (info bits) per stream at the given code rate
+    (mother 1/2 + optional puncturing + tail) over the
+    pid_max * M_occupied symbol budget."""
+    budget = cfg.pid_max * cfg.M_occupied * cfg.modulation.bits_per_symbol
+    if PUNCTURE[rate] is None:
+        return budget // RATE_DEN - TAIL
+    # largest n with kept(2 * (n + TAIL)) <= budget
+    pat = PUNCTURE[rate]
+    n = (budget * len(pat)) // (2 * sum(pat)) - TAIL
+    while _kept_bits(2 * (n + TAIL), rate) > budget:
+        n -= 1
+    while _kept_bits(2 * (n + 1 + TAIL), rate) <= budget:
+        n += 1
+    return n
 
 
 INTERLEAVE_SPREAD = 127
 
 
 def encode_payload(
-    cfg: ModemConfig, seed: int = 0, *, interleave_bits: bool = True
+    cfg: ModemConfig, seed: int = 0, *, interleave_bits: bool = True,
+    rate: str = "1/2",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Random coded payload: returns (msg_bits [n_lanes, n_msg] int32,
     tx_data [num_streams, pid_max * M_occupied] int32 symbols) where
@@ -228,16 +278,18 @@ def encode_payload(
     beyond an exact symbol multiple are zero-padded (and simply unused by
     the decoder).  interleave_bits spreads adjacent coded bits across
     far-apart payload symbols so per-subcarrier fades decorrelate at the
-    trellis (on by default; decode_payload must match)."""
+    trellis (on by default; decode_payload must match).  rate selects
+    802.11a puncturing: '1/2', '2/3', '3/4'."""
     rng = np.random.default_rng(seed)
     n_sym = cfg.pid_max * cfg.M_occupied
     bps = cfg.modulation.bits_per_symbol
-    n_msg = message_bits_per_stream(cfg)
+    n_msg = message_bits_per_stream(cfg, rate)
     tx_lanes, _ = _lanes(cfg)
     msg = rng.integers(
         0, 2, size=(len(tx_lanes), n_msg), dtype=np.int64
     ).astype(np.int32)
     coded = np.asarray(conv_encode(jnp.asarray(msg)))  # [L, 2*(n+TAIL)]
+    coded = np.asarray(puncture(jnp.asarray(coded), rate))
     pad = n_sym * bps - coded.shape[-1]
     coded = np.pad(coded, ((0, 0), (0, pad)))
     if interleave_bits:
@@ -252,11 +304,12 @@ def encode_payload(
 
 def decode_payload(
     rx_sig: jax.Array, cfg: ModemConfig,
-    noise_var: float | jax.Array = 1.0, *, interleave_bits: bool = True
+    noise_var: float | jax.Array = 1.0, *, interleave_bits: bool = True,
+    rate: str = "1/2",
 ) -> jax.Array:
     """Equalized symbols [S, pid_max * M_occupied] -> decoded message bits
-    [S, n_msg]: soft max-log-MAP LLRs, deinterleave, strip the zero-bit
-    padding, batched Viterbi."""
+    [S, n_msg]: soft max-log-MAP LLRs, deinterleave, depuncture, strip the
+    zero-bit padding, batched Viterbi."""
     from rub_mimo_tpu.ofdm import constellation
 
     _, rx_lanes = _lanes(cfg)
@@ -265,24 +318,29 @@ def decode_payload(
         y, cfg.modulation, noise_var
     )                                                # [L, n_sym, bps]
     return _decode_from_llrs(
-        llrs.reshape(len(rx_lanes), -1), cfg, interleave_bits
+        llrs.reshape(len(rx_lanes), -1), cfg, interleave_bits, rate
     )
 
 
 def _decode_from_llrs(
-    llrs: jax.Array, cfg: ModemConfig, interleave_bits: bool
+    llrs: jax.Array, cfg: ModemConfig, interleave_bits: bool,
+    rate: str = "1/2",
 ) -> jax.Array:
     """[L, n_coded] LLRs in TX wire order -> message bits [L, n_msg]."""
     if interleave_bits:
         llrs = deinterleave(llrs, INTERLEAVE_SPREAD)
-    n_msg = message_bits_per_stream(cfg)
+    n_msg = message_bits_per_stream(cfg, rate)
     used = 2 * (n_msg + TAIL)
-    return viterbi_decode(llrs[:, :used])
+    llrs = depuncture_llrs(
+        llrs[:, : _kept_bits(used, rate)], used, rate
+    )
+    return viterbi_decode(llrs)
 
 
 def decode_payload_ml(
     result, cfg: ModemConfig,
-    noise_var: float | jax.Array = 1.0, *, interleave_bits: bool = True
+    noise_var: float | jax.Array = 1.0, *, interleave_bits: bool = True,
+    rate: str = "1/2",
 ) -> jax.Array:
     """Coded decode with JOINT soft-output ML demodulation: LLRs come from
     detect.ml.ml_soft_llrs over the raw payload grid (result.Y, kept by
@@ -303,4 +361,4 @@ def decode_payload_ml(
     llrs = ml_mod.ml_soft_llrs(result.Y, G_occ, cfg, noise_var)
     # [n_sym, tx, n_sc, bps] -> TX wire order [L, (frame, sc, bit)]
     llrs = jnp.moveaxis(llrs, 1, 0).reshape(cfg.num_streams, -1)
-    return _decode_from_llrs(llrs, cfg, interleave_bits)
+    return _decode_from_llrs(llrs, cfg, interleave_bits, rate)

@@ -188,3 +188,47 @@ def test_cli_fec_flag():
         " --fec conv_k7 --quiet".split()
     )
     assert rc in (0, None)
+
+
+@pytest.mark.parametrize("rate", ["2/3", "3/4"])
+def test_punctured_rates_round_trip_and_correct(rate):
+    """802.11a punctured rates: clean round trip, and correction of
+    scattered hard flips (fewer than rate 1/2, but real)."""
+    rng = np.random.default_rng(6)
+    n = 1200
+    msg = rng.integers(0, 2, size=(2, n)).astype(np.int32)
+    coded = np.asarray(fec.conv_encode(jnp.asarray(msg)))
+    kept = np.asarray(fec.puncture(jnp.asarray(coded), rate)).astype(
+        np.float32
+    )
+    llr = 1.0 - 2.0 * kept
+    dep = fec.depuncture_llrs(jnp.asarray(llr), coded.shape[-1], rate)
+    dec = np.asarray(fec.viterbi_decode(dep))
+    np.testing.assert_array_equal(dec, msg)
+
+    llr2 = llr.copy()
+    flip = rng.random(llr.shape) < 0.02
+    llr2[flip] *= -1.0
+    dep2 = fec.depuncture_llrs(jnp.asarray(llr2), coded.shape[-1], rate)
+    dec2 = np.asarray(fec.viterbi_decode(dep2))
+    assert (dec2 != msg).mean() < 0.01
+
+
+def test_punctured_payload_end_to_end_more_throughput():
+    """rate 3/4 carries 1.5x the info bits of rate 1/2 through the same
+    symbol budget and still decodes clean at moderate SNR."""
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import rx
+
+    cfg = tiny_config(bit_exact=False, pid_max=32, sync_fallback=True)
+    n_half = fec.message_bits_per_stream(cfg, "1/2")
+    n_34 = fec.message_bits_per_stream(cfg, "3/4")
+    assert n_34 > 1.45 * n_half
+
+    msg, txd = fec.encode_payload(cfg, seed=3, rate="3/4")
+    spec = simulator.ChannelSpec(snr_db=16.0, delay=300, seed=3)
+    cap, _, _ = simulator.simulate_capture(cfg, spec, tx_data=txd)
+    r = rx.decode(cap, cfg)
+    assert bool(r.synced)
+    dec = np.asarray(fec.decode_payload(r.rx_sig, cfg, rate="3/4"))
+    assert (dec != msg).mean() < 1e-3
