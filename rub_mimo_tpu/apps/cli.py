@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--modulation", default="arb32opt",
                        choices=["bpsk", "qpsk", "qam16", "qam64", "qam256", "arb32opt"])
         p.add_argument("--detector", default="zf",
-                       choices=["zf", "mmse", "ml"])
+                       choices=["zf", "mmse", "ml", "sic"])
         p.add_argument("--mode", default="rx_zf",
                        choices=["siso", "rx_zf", "rx_diversity", "alamouti"])
         p.add_argument("--bit-exact", action="store_true",

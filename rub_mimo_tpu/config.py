@@ -43,6 +43,7 @@ class Detector(enum.Enum):
     ZF = "zf"          # zero-forcing (channel inversion), reference default
     MMSE = "mmse"      # linear MMSE (new capability)
     ML = "ml"          # joint maximum-likelihood lattice search (new)
+    SIC = "sic"        # MMSE V-BLAST successive cancellation (new)
 
 
 class Modulation(enum.Enum):
@@ -310,18 +311,22 @@ class ModemConfig:
                 "track_channel requires pid_max divisible by "
                 "track_block_frames"
             )
-        if self.detector == Detector.ML:
+        if self.detector in (Detector.ML, Detector.SIC):
             if self.mode not in (CommMode.RX_ZF, CommMode.RX_BEAMFORMING):
-                raise ValueError("ML detection requires a full-MIMO mode")
+                raise ValueError(
+                    f"{self.detector.value} detection requires a "
+                    "full-MIMO mode"
+                )
             if self.track_channel:
                 raise ValueError(
                     "track_channel refits through the linear equalizer; "
                     "use detector zf/mmse with it"
                 )
+        if self.detector == Detector.ML:
             if self.arity ** self.num_streams > 4096:
                 raise ValueError(
                     "ML search space arity**num_streams exceeds 4096; "
-                    "use a smaller constellation or mmse"
+                    "use a smaller constellation, sic, or mmse"
                 )
         if self.mode == CommMode.ALAMOUTI:
             if self.num_streams != 2:

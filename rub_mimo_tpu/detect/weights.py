@@ -35,8 +35,10 @@ def weights_for(
     S = cfg.num_streams
     m_occ = G_occ.shape[0]
     if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY,
-                    CommMode.ALAMOUTI) or cfg.detector == Detector.ML:
-        # ML searches the channel directly (detect.ml); no linear weights
+                    CommMode.ALAMOUTI) or cfg.detector in (
+                        Detector.ML, Detector.SIC):
+        # ML/SIC work on the channel directly (detect.ml / detect.sic);
+        # no precomputed linear weights
         return (
             jnp.zeros((m_occ, S, S), dtype=jnp.complex64),
             jnp.ones((m_occ,), dtype=jnp.float32),

@@ -260,6 +260,10 @@ def _payload_stage(
         from rub_mimo_tpu.detect import ml as ml_mod
 
         eq = ml_mod.ml_equalize(Y, G_occ, cfg)
+    elif cfg.detector == Detector.SIC:
+        from rub_mimo_tpu.detect import sic as sic_mod
+
+        eq = sic_mod.sic_equalize(Y, G_occ, cfg, cfg.mmse_noise_var)
     else:
         eq = zf_mod.equalize(Y, W, gain)
     from rub_mimo_tpu.detect.postprocess import postprocess_eq

@@ -193,6 +193,10 @@ def decode(
         from rub_mimo_tpu.detect import ml as ml_mod
 
         eq = ml_mod.ml_equalize(Y, G_occ, cfg)
+    elif cfg.detector == Detector.SIC:
+        from rub_mimo_tpu.detect import sic as sic_mod
+
+        eq = sic_mod.sic_equalize(Y, G_occ, cfg, cfg.mmse_noise_var)
     elif cfg.track_channel:
         from rub_mimo_tpu.detect import tracking
 
