@@ -36,6 +36,12 @@ class ChannelSpec:
     # sampling-frequency offset between TX and RX clocks, in parts-per-
     # million: the receiver observes s(t * (1 + sfo_ppm * 1e-6))
     sfo_ppm: float = 0.0
+    # RX front-end impairments (direct-conversion receivers like the
+    # B210's AD9361): amplitude/phase mismatch between the I and Q arms
+    # (z = mu*y + nu*conj(y)) and a residual DC offset
+    iq_amp_db: float = 0.0
+    iq_phase_deg: float = 0.0
+    dc_offset: complex = 0.0
     # per-element phase drift in cycles/sample (time-varying flat channel;
     # each H entry rotates at rate drift_rate * u with u ~ U(-1, 1))
     drift_rate: float = 0.0
@@ -126,7 +132,18 @@ def apply_channel(
     noise = jnp.sqrt(noise_var / 2.0) * (
         jax.random.normal(kr, y.shape) + 1j * jax.random.normal(ki, y.shape)
     )
-    return (y + noise).astype(jnp.complex64)
+    y = (y + noise).astype(jnp.complex64)
+
+    # RX front-end: IQ imbalance z = mu*y + nu*conj(y), then DC offset
+    if spec.iq_amp_db != 0.0 or spec.iq_phase_deg != 0.0:
+        g = 10.0 ** (spec.iq_amp_db / 20.0)
+        phi = np.deg2rad(spec.iq_phase_deg)
+        mu = np.complex64((1.0 + g * np.exp(1j * phi)) / 2.0)
+        nu = np.complex64((1.0 - g * np.exp(-1j * phi)) / 2.0)
+        y = (mu * y + nu * jnp.conj(y)).astype(jnp.complex64)
+    if spec.dc_offset != 0.0:
+        y = (y + jnp.complex64(spec.dc_offset)).astype(jnp.complex64)
+    return y
 
 
 def inject_fault(
