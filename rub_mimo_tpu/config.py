@@ -163,6 +163,12 @@ class ModemConfig:
     sync_fallback: bool = False
     sync_fallback_threshold: float = 0.3
 
+    # --- delay-domain channel-estimate denoising (new capability) ---
+    # Truncate Ghat's impulse response to the CP span (estimate.smooth):
+    # ~10*log10(M/cp) dB extra estimation SNR when the channel is causal
+    # within the CP.  All-carriers allocation only.
+    smooth_channel: bool = False
+
     # --- decision-directed common-phase tracking (new capability) ---
     # Per OFDM symbol: demap, estimate the common phase error against the
     # decisions, derotate, demap again.  Cleans up residual CFO-induced
@@ -328,6 +334,11 @@ class ModemConfig:
                     "ML search space arity**num_streams exceeds 4096; "
                     "use a smaller constellation, sic, or mmse"
                 )
+        if self.smooth_channel and not self.use_all_carriers:
+            raise ValueError(
+                "smooth_channel needs the all-carriers allocation (guard "
+                "bands make the delay-domain support leak)"
+            )
         if self.mode == CommMode.ALAMOUTI:
             if self.num_streams != 2:
                 raise ValueError("ALAMOUTI requires num_streams == 2")

@@ -394,6 +394,10 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
             mf = matched_filter.search(region, cfg, joint=joint)
             cfo_total = cfo0 + eps_s0 + eps1
         G = ls.estimate_channel(region, mf.ac_index, cfg)
+        if cfg.smooth_channel:
+            from rub_mimo_tpu.estimate import smooth
+
+            G = smooth.smooth_channel_estimate(G, cfg)
         G_occ = G[occ_idx]
         W, gain = weights_mod.weights_for(cfg, G, G_occ, region, mf.ac_index)
 

@@ -151,6 +151,10 @@ def decode(
 
     # ---- LS channel estimate ----
     G = ls.estimate_channel(window, mf.ac_index, cfg)
+    if cfg.smooth_channel:
+        from rub_mimo_tpu.estimate import smooth
+
+        G = smooth.smooth_channel_estimate(G, cfg)
     G_occ = G[occ_idx]  # [m_occ, rx, tx]
 
     # ---- detector weights (shared across all pipelines) ----

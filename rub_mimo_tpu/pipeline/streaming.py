@@ -158,6 +158,10 @@ class StreamingDecoder:
 
             mf = matched_filter.search(region, cfg, joint=joint)
             G = ls.estimate_channel(region, mf.ac_index, cfg)
+            if cfg.smooth_channel:
+                from rub_mimo_tpu.estimate import smooth
+
+                G = smooth.smooth_channel_estimate(G, cfg)
             W, gain = weights_mod.weights_for(
                 cfg, G, G[occ], region, mf.ac_index
             )
