@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                             "tracking (ZF-family modes)")
         p.add_argument("--track-block-frames", type=int, default=16)
         p.add_argument("--track-alpha", type=float, default=0.5)
+        p.add_argument("--smooth-channel", action="store_true",
+                       help="delay-domain denoising of the channel "
+                            "estimate (all-carriers allocation)")
         p.add_argument("--config", type=Path, default=None,
                        help="load a ModemConfig JSON (overrides flags)")
         p.add_argument("-v", "--verbose", action="store_true")
@@ -94,6 +97,19 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--drift", type=float, default=0.0,
                        help="per-sample channel drift rate (each H entry "
                             "rotates at drift * u, u ~ U(-1,1))")
+    p_run.add_argument("--sfo-ppm", type=float, default=0.0,
+                       help="TX/RX sampling-clock offset impairment (ppm)")
+    p_run.add_argument("--sfo-correct", action="store_true",
+                       help="iterative SFO estimation + band-limited "
+                            "resampling correction")
+    p_run.add_argument("--iq-imbalance", default=None, metavar="DB,DEG",
+                       help="RX IQ imbalance impairment: amplitude dB, "
+                            "phase degrees (e.g. 1.0,5.0)")
+    p_run.add_argument("--dc-offset", type=float, default=0.0,
+                       help="RX DC offset impairment (real amplitude)")
+    p_run.add_argument("--frontend-comp", action="store_true",
+                       help="blind IQ-imbalance + DC compensation before "
+                            "decoding")
     p_run.add_argument("--cfo", type=float, default=0.0,
                        help="channel CFO in subcarrier units")
     p_run.add_argument("--seed", type=int, default=42)
@@ -153,6 +169,7 @@ def _config_from_args(args):
         track_channel=args.track_channel,
         track_block_frames=args.track_block_frames,
         track_alpha=args.track_alpha,
+        smooth_channel=args.smooth_channel,
         center_frequency=args.freq,
         sample_rate=args.rate,
         baseband_gain=args.dsp_gain,
@@ -242,11 +259,17 @@ def main(argv=None):
         return 2
 
     if args.command == "run":
+        iq_amp, iq_phase = 0.0, 0.0
+        if args.iq_imbalance:
+            iq_amp, iq_phase = (float(v) for v in
+                                args.iq_imbalance.split(","))
         spec = simulator.ChannelSpec(
             snr_db=args.snr, delay=args.delay,
             flat=args.taps <= 1, num_taps=args.taps,
             cfo_subcarriers=args.cfo, seed=args.seed,
-            drift_rate=args.drift,
+            drift_rate=args.drift, sfo_ppm=args.sfo_ppm,
+            iq_amp_db=iq_amp, iq_phase_deg=iq_phase,
+            dc_offset=args.dc_offset,
         )
         for i in range(args.repeat):
             sp = simulator.ChannelSpec(
@@ -263,6 +286,22 @@ def main(argv=None):
             cap, tx_data, h = simulator.simulate_capture(
                 cfg, sp, tx_data=txd, payload_seed=args.seed + i
             )
+            if args.frontend_comp:
+                from rub_mimo_tpu.estimate import frontend
+
+                dc, wiq = frontend.estimate_frontend(cap)
+                cap = frontend.compensate(cap, dc, wiq)
+            if args.sfo_correct:
+                import jax.numpy as jnp
+
+                from rub_mimo_tpu.estimate import sfo as sfo_mod
+                from rub_mimo_tpu.utils.transfer import to_host
+
+                _, dtot = sfo_mod.decode_with_sfo(jnp.asarray(cap), cfg)
+                cap = sfo_mod.correct_sfo(cap, dtot)
+                if not args.quiet:
+                    print(f"    estimated SFO           : "
+                          f"{float(to_host(dtot)) * 1e6:+.2f} ppm")
             result, rep = _decode_and_report(cfg, cap, tx_data, args)
             if msg_bits is not None:
                 from rub_mimo_tpu.ofdm import fec
