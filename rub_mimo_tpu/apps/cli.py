@@ -297,8 +297,9 @@ def main(argv=None):
                 from rub_mimo_tpu.estimate import sfo as sfo_mod
                 from rub_mimo_tpu.utils.transfer import to_host
 
-                _, dtot = sfo_mod.decode_with_sfo(jnp.asarray(cap), cfg)
-                cap = sfo_mod.correct_sfo(cap, dtot)
+                _, dtot, cap = sfo_mod.decode_with_sfo(
+                    jnp.asarray(cap), cfg
+                )
                 if not args.quiet:
                     print(f"    estimated SFO           : "
                           f"{float(to_host(dtot)) * 1e6:+.2f} ppm")
@@ -307,9 +308,16 @@ def main(argv=None):
                 from rub_mimo_tpu.ofdm import fec
                 from rub_mimo_tpu.utils.transfer import to_host
 
-                dec = fec.decode_payload(
-                    result.rx_sig, cfg, rate=args.fec_rate
-                )
+                if result.Y is not None:
+                    # ML decode: use the joint soft-output lattice LLRs
+                    # (hard remodulated rx_sig would saturate the Viterbi)
+                    dec = fec.decode_payload_ml(
+                        result, cfg, rate=args.fec_rate
+                    )
+                else:
+                    dec = fec.decode_payload(
+                        result.rx_sig, cfg, rate=args.fec_rate
+                    )
                 ber = (to_host(dec) != msg_bits).mean(axis=1)
                 if not args.quiet:
                     for lane, b in enumerate(ber):
@@ -391,7 +399,11 @@ def main(argv=None):
         dec = streaming.StreamingDecoder(cfg, chunk_size=args.chunk)
         n_rx = 0
         for block in reader:
-            frame = block.reshape(-1, cfg.num_streams).T
+            # a sender may close mid-sample-frame: drop the ragged tail
+            n_whole = (block.size // cfg.num_streams) * cfg.num_streams
+            if n_whole == 0:
+                continue
+            frame = block[:n_whole].reshape(-1, cfg.num_streams).T
             chunk = np.zeros((cfg.num_streams, args.chunk), np.complex64)
             chunk[:, : frame.shape[1]] = frame
             dec.push(chunk)

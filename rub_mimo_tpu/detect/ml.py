@@ -121,18 +121,23 @@ def ml_soft_llrs(
         nb, block, *Y.shape[1:]
     )
     inf = jnp.float32(3e38)
+    nbits = n_tx * bps
 
-    # expand a bit axis via where on [b, n_sc, C, nbits], min over C
+    # per-bit masked minima, looping the (static, <=12) bit positions so
+    # the live tensor stays [b, n_sc, C] — a combos x bits expansion
+    # would be ~GBs at the reference operating point
     def one_block(yb):
         d2 = (
             jnp.sum(jnp.abs(yb) ** 2, axis=1)[:, :, None]
             - 2.0 * jnp.real(jnp.einsum("nrk,krc->nkc", jnp.conj(yb), GS))
             + e[None]
         )                                                    # [b, n_sc, C]
-        d2e = d2[..., None]                                  # [b,n_sc,C,1]
-        m1 = jnp.min(jnp.where(bit1[None, None], d2e, inf), axis=-2)
-        m0 = jnp.min(jnp.where(~bit1[None, None], d2e, inf), axis=-2)
-        return m1 - m0                                       # [b,n_sc,tx*bps]
+        outs = []
+        for j in range(nbits):
+            m1 = jnp.min(jnp.where(bit1[:, j], d2, inf), axis=-1)
+            m0 = jnp.min(jnp.where(~bit1[:, j], d2, inf), axis=-1)
+            outs.append(m1 - m0)
+        return jnp.stack(outs, axis=-1)                      # [b,n_sc,tx*bps]
 
     out = jax.lax.map(one_block, Yp).reshape(nb * block, n_sc, n_tx * bps)
     out = out[:n_sym].reshape(n_sym, n_sc, n_tx, bps)

@@ -22,6 +22,8 @@ decode again — a cheap two-pass flow since decode is ~0.1 ms on chip.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,10 +49,27 @@ def estimate_sfo(
     (track_channel=True follows the ramp, so its decisions stay good
     across the whole run) — decode_with_sfo wires this up.
     """
+    # complex math must stay inside jit on the axon TPU attachment
+    self_decide = decisions is None
+    if self_decide:
+        decisions = jnp.zeros(rx_sig.shape, jnp.int32)  # ignored
+    return _estimate_sfo_jit(rx_sig, decisions, cfg, n_frames, self_decide)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_frames", "self_decide")
+)
+def _estimate_sfo_jit(
+    rx_sig: jax.Array,
+    decisions: jax.Array,
+    cfg: ModemConfig,
+    n_frames: int | None,
+    self_decide: bool,
+) -> jax.Array:
     S = rx_sig.shape[0]
     m_occ = cfg.M_occupied
     y = rx_sig.reshape(S, cfg.pid_max, m_occ)
-    if decisions is None:
+    if self_decide:
         d = constellation.demodulate(y, cfg.modulation)
     else:
         d = decisions.reshape(S, cfg.pid_max, m_occ)
@@ -98,16 +117,24 @@ def decode_with_sfo(
     iq: jax.Array, cfg: ModemConfig, *, iters: int = 2,
     track_block_frames: int | None = None,
 ):
-    """SFO-corrected decode (full-MIMO ZF-family modes).
+    """SFO-corrected decode (full-MIMO modes).
 
     Each pass: (1) decode with decision-directed channel tracking, whose
     per-block refits follow the SFO ramp, yielding reliable symbol
     decisions across the whole run; (2) decode statically and fit the
     intact per-(frame, subcarrier) phase ramp against those decisions;
     (3) resample the capture by 1/(1+delta).  A second pass refines the
-    estimate on the nearly-corrected capture.  Returns
-    (final static DecodeResult, delta_total); each pass costs two decodes
-    (~0.1 ms each on chip at the reference operating point)."""
+    estimate on the nearly-corrected capture.
+
+    Both helper decodes run with a ZF-family detector regardless of
+    cfg.detector: tracking refits through the linear equalizer, and the
+    fit needs SOFT equalized symbols (ML's remodulated hard decisions
+    quantize the ramp away).  The final decode uses cfg as given.
+
+    Returns (final DecodeResult, delta_total, corrected iq); each pass
+    costs two decodes (~0.1 ms each on chip at the reference operating
+    point)."""
+    from rub_mimo_tpu.config import Detector
     from rub_mimo_tpu.pipeline import rx as rx_mod
 
     bf = track_block_frames
@@ -116,19 +143,26 @@ def decode_with_sfo(
         bf = min(cfg.track_block_frames, 4)
         while cfg.pid_max % bf:
             bf -= 1
-    cfg_track = cfg.replace(
-        track_channel=False, detector=cfg.detector
-    ).replace(track_channel=True, track_block_frames=bf)
-    if cfg.detector.value == "ml":
-        # tracking refits through the linear equalizer
-        cfg_track = cfg_track.replace(detector=type(cfg.detector)("zf"))
+    cfg_fit = cfg.replace(track_channel=False)
+    if cfg.detector in (Detector.ML, Detector.SIC):
+        cfg_fit = cfg_fit.replace(detector=Detector.ZF)
+    cfg_track = cfg_fit.replace(track_channel=True, track_block_frames=bf)
+
+    dec_fit = rx_mod.make_decoder(cfg_fit)
+    dec_track = rx_mod.make_decoder(cfg_track)
 
     delta_total = jnp.float32(0.0)
-    result = rx_mod.decode(iq, cfg)
+    fit_result = dec_fit(iq)
     for _ in range(iters):
-        tracked = rx_mod.decode(iq, cfg_track)
-        d = estimate_sfo(result.rx_sig, cfg, decisions=tracked.rx_data)
+        tracked = dec_track(iq)
+        d = estimate_sfo(
+            fit_result.rx_sig, cfg_fit, decisions=tracked.rx_data
+        )
         delta_total = delta_total + d
         iq = correct_sfo(iq, d)
-        result = rx_mod.decode(iq, cfg)
-    return result, delta_total
+        fit_result = dec_fit(iq)
+    if cfg_fit == cfg:
+        result = fit_result
+    else:
+        result = rx_mod.make_decoder(cfg)(iq)
+    return result, delta_total, iq

@@ -309,7 +309,21 @@ def decode_payload(
 ) -> jax.Array:
     """Equalized symbols [S, pid_max * M_occupied] -> decoded message bits
     [S, n_msg]: soft max-log-MAP LLRs, deinterleave, depuncture, strip the
-    zero-bit padding, batched Viterbi."""
+    zero-bit padding, batched Viterbi.  (Jitted — eager complex ops fail
+    on the axon TPU attachment.)"""
+    return _decode_payload_jit(
+        rx_sig, jnp.asarray(noise_var, jnp.float32), cfg,
+        interleave_bits, rate,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interleave_bits", "rate")
+)
+def _decode_payload_jit(
+    rx_sig: jax.Array, noise_var: jax.Array, cfg: ModemConfig,
+    interleave_bits: bool, rate: str,
+) -> jax.Array:
     from rub_mimo_tpu.ofdm import constellation
 
     _, rx_lanes = _lanes(cfg)
@@ -347,18 +361,30 @@ def decode_payload_ml(
     pipeline.rx.decode when cfg.detector == Detector.ML), marginalizing
     inter-stream interference in the lattice instead of after a linear
     equalizer.  Full-MIMO modes only (every lane carries data)."""
-    from rub_mimo_tpu.detect import ml as ml_mod
-    from rub_mimo_tpu.ofdm import sctype
-
     if result.Y is None:
         raise ValueError(
             "result.Y missing: decode with cfg.detector == Detector.ML"
         )
+    return _decode_payload_ml_jit(
+        result.Y, result.G, jnp.asarray(noise_var, jnp.float32), cfg,
+        interleave_bits, rate,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interleave_bits", "rate")
+)
+def _decode_payload_ml_jit(
+    Y: jax.Array, G: jax.Array, noise_var: jax.Array, cfg: ModemConfig,
+    interleave_bits: bool, rate: str,
+) -> jax.Array:
+    from rub_mimo_tpu.detect import ml as ml_mod
+    from rub_mimo_tpu.ofdm import sctype
+
     occ = jnp.asarray(
         sctype.occupied_indices(cfg.subcarrier_allocation())
     )
-    G_occ = result.G[occ]
-    llrs = ml_mod.ml_soft_llrs(result.Y, G_occ, cfg, noise_var)
+    llrs = ml_mod.ml_soft_llrs(Y, G[occ], cfg, noise_var)
     # [n_sym, tx, n_sc, bps] -> TX wire order [L, (frame, sc, bit)]
     llrs = jnp.moveaxis(llrs, 1, 0).reshape(cfg.num_streams, -1)
     return _decode_from_llrs(llrs, cfg, interleave_bits, rate)

@@ -29,8 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
-from rub_mimo_tpu.detect import siso as siso_mod
-from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
 from rub_mimo_tpu.ofdm import constellation, sctype
 from rub_mimo_tpu.sync import matched_filter, schmidl_cox
@@ -177,30 +175,12 @@ def decode(
     Y = X[:, :, occ_idx]  # [S(rx), n_sym, m_occ]
     Y = jnp.moveaxis(Y, 1, 0)  # [n_sym, S, m_occ]
 
-    if cfg.mode == CommMode.SISO:
-        eq_one = siso_mod.siso_equalize(Y, G_occ, cfg.siso_rx, cfg.siso_tx)
-        eq = jnp.zeros_like(Y)
-        eq = eq.at[:, cfg.siso_rx, :].set(eq_one)
-    elif cfg.mode == CommMode.RX_DIVERSITY:
-        from rub_mimo_tpu.detect import diversity
-
-        comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
-        eq = jnp.zeros_like(Y)
-        eq = eq.at[:, cfg.siso_tx, :].set(comb)
-    elif cfg.mode == CommMode.ALAMOUTI:
+    if cfg.mode == CommMode.ALAMOUTI:
         from rub_mimo_tpu.detect import alamouti as alamouti_mod
 
         dec1 = alamouti_mod.combine_pairs(Y, G_occ)  # [n_sym, m_occ]
         eq = jnp.zeros_like(Y)
         eq = eq.at[:, 0, :].set(dec1)
-    elif cfg.detector == Detector.ML:
-        from rub_mimo_tpu.detect import ml as ml_mod
-
-        eq = ml_mod.ml_equalize(Y, G_occ, cfg)
-    elif cfg.detector == Detector.SIC:
-        from rub_mimo_tpu.detect import sic as sic_mod
-
-        eq = sic_mod.sic_equalize(Y, G_occ, cfg, cfg.mmse_noise_var)
     elif cfg.track_channel:
         from rub_mimo_tpu.detect import tracking
 
@@ -209,7 +189,9 @@ def decode(
             block_frames=cfg.track_block_frames, alpha=cfg.track_alpha,
         )
     else:
-        eq = zf_mod.equalize(Y, W, gain)  # [n_sym, S(out), m_occ]
+        from rub_mimo_tpu.detect.dispatch import equalize_dispatch
+
+        eq = equalize_dispatch(Y, G_occ, W, gain, cfg)
 
     from rub_mimo_tpu.detect.postprocess import postprocess_eq
 

@@ -37,8 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
-from rub_mimo_tpu.detect import siso as siso_mod
+from rub_mimo_tpu.config import CommMode, ModemConfig
 from rub_mimo_tpu.detect import zf as zf_mod
 from rub_mimo_tpu.estimate import ls
 from rub_mimo_tpu.ofdm import constellation, sctype
@@ -203,27 +202,9 @@ class StreamingDecoder:
                 # emit raw frequency-domain symbols; pairs are combined on
                 # the host once both halves have arrived (_emit)
                 return ext[:, -(sym - 1):], Y, ks, owned.astype(jnp.int32)
-            if cfg.mode == CommMode.SISO:
-                eq_one = siso_mod.siso_equalize(
-                    Y, G_occ, cfg.siso_rx, cfg.siso_tx
-                )
-                eq = jnp.zeros_like(Y).at[:, cfg.siso_rx, :].set(eq_one)
-            elif cfg.mode == CommMode.RX_DIVERSITY:
-                from rub_mimo_tpu.detect import diversity
+            from rub_mimo_tpu.detect.dispatch import equalize_dispatch
 
-                comb = diversity.mrc_combine(Y, G_occ, cfg.siso_tx)
-                eq = jnp.zeros_like(Y).at[:, cfg.siso_tx, :].set(comb)
-            elif cfg.detector == Detector.ML:
-                from rub_mimo_tpu.detect import ml as ml_mod
-
-                eq = ml_mod.ml_equalize(Y, G_occ, cfg)
-            elif cfg.detector == Detector.SIC:
-                from rub_mimo_tpu.detect import sic as sic_mod
-
-                eq = sic_mod.sic_equalize(Y, G_occ, cfg,
-                                          cfg.mmse_noise_var)
-            else:
-                eq = zf_mod.equalize(Y, W, gain)
+            eq = equalize_dispatch(Y, G_occ, W, gain, cfg)
             from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
             eq = postprocess_eq(eq, cfg)

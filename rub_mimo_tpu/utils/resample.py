@@ -54,13 +54,15 @@ def _fft_upsample(x: jax.Array, up: int) -> jax.Array:
     T = x.shape[-1]
     X = jnp.fft.fft(x.astype(jnp.complex64), axis=-1)
     h = T // 2
-    lead = X[..., :h]
-    tail = X[..., h + 1 :] if T % 2 == 0 else X[..., h:]
     if T % 2 == 0:
+        lead = X[..., :h]          # bins 0 .. h-1
+        tail = X[..., h + 1 :]     # bins -(h-1) .. -1
         nyq = X[..., h : h + 1] * 0.5
         mid_z = jnp.zeros(x.shape[:-1] + (up * T - T - 1,), X.dtype)
         Xu = jnp.concatenate([lead, nyq, mid_z, nyq, tail], axis=-1)
     else:
+        lead = X[..., : h + 1]     # bins 0 .. +h (all positive freqs)
+        tail = X[..., h + 1 :]     # bins -h .. -1
         mid_z = jnp.zeros(x.shape[:-1] + (up * T - T,), X.dtype)
         Xu = jnp.concatenate([lead, mid_z, tail], axis=-1)
     return jnp.fft.ifft(Xu, axis=-1) * up

@@ -68,7 +68,7 @@ def test_decode_with_sfo_recovers(ppm):
     ser0 = (np.asarray(r0.rx_data)[:, :n] != tx_data[:, :n]).mean()
     assert ser0 > 0.03, f"SFO should break the static decode: {ser0}"
 
-    r2, dtot = sfo_mod.decode_with_sfo(cap, cfg, iters=3)
+    r2, dtot, _ = sfo_mod.decode_with_sfo(cap, cfg, iters=3)
     ser2 = (np.asarray(r2.rx_data)[:, :n] != tx_data[:, :n]).mean()
     assert ser2 < 0.01, (ser0, ser2)
     assert abs(float(dtot) * 1e6 - ppm) < 0.15 * abs(ppm) + 5.0
@@ -81,7 +81,42 @@ def test_sfo_noop_on_clean_capture():
     spec = simulator.ChannelSpec(snr_db=30.0, delay=333, seed=3)
     cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
     n = cfg.pid_max * cfg.M_occupied
-    r, dtot = sfo_mod.decode_with_sfo(cap, cfg)
+    r, dtot, _ = sfo_mod.decode_with_sfo(cap, cfg)
     ser = (np.asarray(r.rx_data)[:, :n] != tx_data[:, :n]).mean()
     assert ser < 0.005, ser
     assert abs(float(dtot) * 1e6) < 5.0
+
+
+def test_bandlimited_resampler_odd_length():
+    """Odd-length inputs must split the spectrum at the correct bin (the
+    top positive frequency must NOT alias to a negative one)."""
+    T = 4097
+    t = np.arange(T)
+    f = 1.0 + 100e-6
+    for b in (5, T // 2):  # low bin and the top positive bin
+        nu = b / T
+        x = np.exp(2j * np.pi * nu * t).astype(np.complex64)[None, :]
+        y = np.asarray(resample_bandlimited(jnp.asarray(x), f))
+        want = np.exp(2j * np.pi * nu * t * f)
+        err = np.abs(y[0, 100:-100] - want[100:-100]).max()
+        assert err < 0.01, (b, err)
+
+
+@pytest.mark.parametrize("det", ["ml", "sic"])
+def test_decode_with_sfo_nonlinear_detectors(det):
+    """decode_with_sfo must run its helper decodes with a ZF-family
+    config even when the final detector is ML/SIC (hard remodulated
+    rx_sig or untracked decisions would break the ramp fit)."""
+    from rub_mimo_tpu.config import Detector
+
+    cfg = tiny_config(bit_exact=False, pid_max=64,
+                      modulation=Modulation.QAM16, sync_fallback=True,
+                      detector=Detector(det))
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=333, seed=3,
+                                 sfo_ppm=100.0)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    n = cfg.pid_max * cfg.M_occupied
+    r2, dtot, _ = sfo_mod.decode_with_sfo(cap, cfg, iters=3)
+    ser = (np.asarray(r2.rx_data)[:, :n] != tx_data[:, :n]).mean()
+    assert abs(float(dtot) * 1e6 - 100.0) < 20.0, float(dtot) * 1e6
+    assert ser < 0.01, ser
