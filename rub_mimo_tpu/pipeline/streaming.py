@@ -46,9 +46,20 @@ from rub_mimo_tpu.utils.transfer import to_host
 
 
 class StreamingDecoder:
-    def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16):
+    def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16,
+                 frontend_comp: bool = False, warmup_chunks: int = 4):
+        """frontend_comp: blind DC-offset + IQ-imbalance compensation
+        (estimate.frontend) in the stream — the first `warmup_chunks`
+        chunks are buffered, the moments estimated over them, and then
+        both the buffered and all later chunks pass through the
+        conjugate-cancellation before the decoder sees them."""
         cfg.validate()
         self.cfg = cfg
+        self._fe_comp = bool(frontend_comp)
+        self._fe_warmup = int(warmup_chunks)
+        self._fe_buf: List[jax.Array] = []
+        self._fe_dc = None
+        self._fe_w = None
         self.C = int(chunk_size)
         S = cfg.num_streams
         self.S = S
@@ -335,6 +346,33 @@ class StreamingDecoder:
             raise ValueError(
                 f"chunk must be [{self.S}, {self.C}], got {chunk.shape}"
             )
+        if self._fe_comp:
+            from rub_mimo_tpu.estimate import frontend
+
+            if self._fe_dc is None:
+                self._fe_buf.append(chunk)
+                if len(self._fe_buf) < self._fe_warmup:
+                    return []
+                return self._fe_start()
+            chunk = frontend.compensate(chunk, self._fe_dc, self._fe_w)
+        return self._push_inner(chunk)
+
+    def _fe_start(self) -> List[Tuple[int, np.ndarray]]:
+        """Estimate the front-end moments over the warmup buffer, then
+        replay the buffered chunks through the compensated path."""
+        from rub_mimo_tpu.estimate import frontend
+
+        allc = jnp.concatenate(self._fe_buf, axis=-1)
+        self._fe_dc, self._fe_w = frontend.estimate_frontend(allc)
+        emitted: List[Tuple[int, np.ndarray]] = []
+        for c in self._fe_buf:
+            emitted += self._push_inner(
+                frontend.compensate(c, self._fe_dc, self._fe_w)
+            )
+        self._fe_buf = []
+        return emitted
+
+    def _push_inner(self, chunk) -> List[Tuple[int, np.ndarray]]:
         cfg = self.cfg
         emitted: List[Tuple[int, np.ndarray]] = []
         gpos = self.gpos
@@ -509,15 +547,20 @@ class StreamingDecoder:
     def finalize(self) -> List[Tuple[int, np.ndarray]]:
         """Flush the remaining queued payload with zero padding (exactly
         what the offline pipeline's zero-extended replay window does)."""
+        out: List[Tuple[int, np.ndarray]] = []
+        if self._fe_comp and self._fe_dc is None and self._fe_buf:
+            # stream ended inside the warmup window: estimate on what we
+            # have and replay
+            out += self._fe_start()
         if self.phase != "payload" or self._pq_len == 0:
-            return []
+            return out
         pad = self.C - (self._pq_len % self.C)
         if pad != self.C:
             last_gpos = self._pq[-1][1] + self._pq[-1][0].shape[-1]
             self._enqueue(
                 jnp.zeros((self.S, pad), jnp.complex64), last_gpos
             )
-        return self._drain()
+        return out + self._drain()
 
     def _emit(self, eq, ks, owned):
         ks_h = np.asarray(to_host(ks))

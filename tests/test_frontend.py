@@ -67,3 +67,36 @@ def test_compensation_noop_on_clean_capture():
     ser = (np.asarray(r.rx_data)[:, :n] != tx_data[:, :n]).mean()
     assert ser < 0.005, ser
     assert abs(complex(np.asarray(w)[0])) < 0.05
+
+
+def test_streaming_frontend_compensation():
+    """StreamingDecoder(frontend_comp=True): warmup chunks are buffered,
+    the moments estimated, and the buffer replayed compensated — an
+    imbalanced stream decodes where the raw stream is destroyed."""
+    from rub_mimo_tpu.pipeline import streaming
+
+    cfg = tiny_config(bit_exact=False, pid_max=32,
+                      modulation=Modulation.QAM64, sync_fallback=True)
+    spec = simulator.ChannelSpec(
+        snr_db=35.0, delay=333, seed=5,
+        iq_amp_db=1.0, iq_phase_deg=5.0, dc_offset=0.05 + 0.03j,
+    )
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    capn = np.asarray(cap)
+    n = cfg.pid_max * cfg.M_occupied
+    T = capn.shape[-1]
+
+    sers = {}
+    for fe in (False, True):
+        dec = streaming.StreamingDecoder(cfg, chunk_size=512,
+                                         frontend_comp=fe)
+        for i in range(0, T, 512):
+            c = np.zeros((cfg.num_streams, 512), np.complex64)
+            c[:, : min(512, T - i)] = capn[:, i : i + 512]
+            dec.push(c)
+        dec.finalize()
+        assert dec.synced
+        _, rx_data = dec.result()
+        sers[fe] = (rx_data[:, :n] != tx_data[:, :n]).mean()
+    assert sers[False] > 0.5, sers
+    assert sers[True] < 0.02, sers
