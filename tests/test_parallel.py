@@ -210,3 +210,45 @@ def test_sharded_fallback_with_cfo_matches_offline():
     np.testing.assert_array_equal(
         np.asarray(got.rx_data), np.asarray(ref.rx_data)
     )
+
+
+def test_sharded_batch_serving_matches_single_device():
+    """Data-parallel serving: 8 captures sharded over the 8-device mesh
+    decode identically to the single-device batch decoder, each with its
+    own sync point and CSI."""
+    from rub_mimo_tpu.parallel import serving
+
+    cfg = tiny_config(bit_exact=False, pid_max=8)
+    caps, txs = [], []
+    for i in range(8):
+        spec = simulator.ChannelSpec(snr_db=30.0, delay=301 + 37 * i,
+                                     seed=100 + i)
+        cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+        caps.append(np.asarray(cap))
+        txs.append(tx_data)
+    T = max(c.shape[-1] for c in caps)
+    batch = np.stack([
+        np.pad(c, ((0, 0), (0, T - c.shape[-1]))) for c in caps
+    ])
+
+    ref = rx.make_batch_decoder(cfg)(jnp.asarray(batch))
+
+    m = mesh_mod.make_mesh(8, 1)
+    sharded = serving.shard_batch(batch, m)
+    got = serving.make_sharded_batch_decoder(cfg, m)(sharded)
+
+    assert bool(np.asarray(got.synced).all())
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.sync_index), np.asarray(ref.sync_index)
+    )
+
+
+def test_sharded_batch_serving_validation():
+    from rub_mimo_tpu.parallel import serving
+
+    m = mesh_mod.make_mesh(8, 1)
+    with pytest.raises(ValueError):
+        serving.shard_batch(np.zeros((3, 2, 64), np.complex64), m)
