@@ -66,3 +66,27 @@ def test_sic_validation():
     with pytest.raises(ValueError):
         tiny_config(detector=Detector.SIC, track_channel=True,
                     pid_max=16).validate()
+
+
+def test_sic_soft_outputs_feed_fec():
+    """SIC emits unbiased soft estimates, so the coded payload decodes
+    through fec.decode_payload on a 4x4 64-QAM link where ZF's noise
+    blow-up breaks the code."""
+    from rub_mimo_tpu.ofdm import fec
+
+    base, cap0, _ = _setup_4x4()
+    cfg = tiny_config(detector=Detector.SIC, mmse_noise_var=1e-3, **base)
+    msg, txd = fec.encode_payload(cfg, seed=21)
+    spec = simulator.ChannelSpec(snr_db=22.0, delay=300, seed=8,
+                                 diagonal_dominance=1.5)
+    cap, _, _ = simulator.simulate_capture(cfg, spec, tx_data=txd)
+    r = rx.decode(cap, cfg)
+    assert bool(r.synced)
+    ber_sic = (np.asarray(fec.decode_payload(r.rx_sig, cfg)) != msg).mean()
+
+    cfg_zf = tiny_config(detector=Detector.ZF, **base)
+    r2 = rx.decode(cap, cfg_zf)
+    ber_zf = (np.asarray(fec.decode_payload(r2.rx_sig, cfg_zf))
+              != msg).mean()
+    assert ber_sic < 1e-3, (ber_sic, ber_zf)
+    assert ber_zf > 10 * max(ber_sic, 1e-4), (ber_sic, ber_zf)
