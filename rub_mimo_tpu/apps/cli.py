@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_run.add_argument("--fec-rate", default="1/2",
                        choices=["1/2", "2/3", "3/4"],
                        help="802.11a punctured code rate (with --fec)")
+    p_run.add_argument("--send-file", type=Path, default=None,
+                       help="transmit this file's bytes as the coded "
+                            "payload (length + CRC-32 header)")
+    p_run.add_argument("--recv-out", type=Path, default=None,
+                       help="write the recovered bytes here (--send-file)")
     p_run.add_argument("--drift", type=float, default=0.0,
                        help="per-sample channel drift rate (each H entry "
                             "rotates at drift * u, u ~ U(-1,1))")
@@ -277,7 +282,13 @@ def main(argv=None):
             )
             msg_bits = None
             txd = None
-            if args.fec != "none":
+            sent_data = None
+            if args.send_file is not None:
+                from rub_mimo_tpu.ofdm import fec
+
+                sent_data = args.send_file.read_bytes()
+                txd = fec.encode_data(sent_data, cfg, rate=args.fec_rate)
+            elif args.fec != "none":
                 from rub_mimo_tpu.ofdm import fec
 
                 msg_bits, txd = fec.encode_payload(
@@ -304,6 +315,21 @@ def main(argv=None):
                     print(f"    estimated SFO           : "
                           f"{float(to_host(dtot)) * 1e6:+.2f} ppm")
             result, rep = _decode_and_report(cfg, cap, tx_data, args)
+            if sent_data is not None:
+                from rub_mimo_tpu.ofdm import fec
+
+                out, ok = fec.decode_data(
+                    result.rx_sig, cfg, rate=args.fec_rate
+                )
+                exact = out == sent_data
+                if not args.quiet:
+                    print(f"    file transfer           : "
+                          f"{len(out)}/{len(sent_data)} bytes, "
+                          f"crc_ok={ok}, exact={exact}")
+                if args.recv_out is not None:
+                    args.recv_out.write_bytes(out)
+                if not (ok and exact):
+                    return 1
             if msg_bits is not None:
                 from rub_mimo_tpu.ofdm import fec
                 from rub_mimo_tpu.utils.transfer import to_host

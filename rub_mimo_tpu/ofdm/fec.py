@@ -302,6 +302,85 @@ def encode_payload(
     return msg, tx_data
 
 
+# ------------------------------------------------------- data transport
+_HEADER_BITS = 64  # 32-bit length (bytes) + 32-bit CRC-32
+
+
+def data_capacity_bytes(cfg: ModemConfig, rate: str = "1/2") -> int:
+    """Max user-data bytes one coded payload carries (all lanes pooled,
+    minus the length+CRC header)."""
+    tx_lanes, _ = _lanes(cfg)
+    total_bits = len(tx_lanes) * message_bits_per_stream(cfg, rate)
+    return max(0, (total_bits - _HEADER_BITS) // 8)
+
+
+def encode_data(
+    data: bytes, cfg: ModemConfig, *, rate: str = "1/2",
+    interleave_bits: bool = True,
+) -> np.ndarray:
+    """Pack REAL bytes (not a random test payload) into coded payload
+    symbols: [32-bit length][32-bit CRC-32][data bits][zero pad], split
+    across the mode's data lanes, convolutionally encoded per lane.
+    Returns tx_data [num_streams, pid_max * M_occupied] int32."""
+    import binascii
+
+    cap = data_capacity_bytes(cfg, rate)
+    if len(data) > cap:
+        raise ValueError(
+            f"{len(data)} bytes exceed the payload capacity {cap}"
+        )
+    tx_lanes, _ = _lanes(cfg)
+    n_msg = message_bits_per_stream(cfg, rate)
+    header = np.frombuffer(
+        np.uint32(len(data)).tobytes() +
+        np.uint32(binascii.crc32(data) & 0xFFFFFFFF).tobytes(),
+        np.uint8,
+    )
+    stream = np.concatenate([header, np.frombuffer(data, np.uint8)])
+    bits = np.unpackbits(stream)
+    msg = np.zeros((len(tx_lanes), n_msg), np.int32)
+    flat = msg.reshape(-1)
+    flat[: bits.size] = bits
+    msg = flat.reshape(len(tx_lanes), n_msg)
+
+    n_sym = cfg.pid_max * cfg.M_occupied
+    bps = cfg.modulation.bits_per_symbol
+    coded = np.asarray(conv_encode(jnp.asarray(msg)))
+    coded = np.asarray(puncture(jnp.asarray(coded), rate))
+    coded = np.pad(coded, ((0, 0), (0, n_sym * bps - coded.shape[-1])))
+    if interleave_bits:
+        coded = np.asarray(interleave(jnp.asarray(coded), INTERLEAVE_SPREAD))
+    syms = np.asarray(bits_to_symbols(jnp.asarray(coded), cfg.modulation))
+    tx_data = np.zeros((cfg.num_streams, n_sym), np.int32)
+    tx_data[tx_lanes] = syms
+    return tx_data
+
+
+def decode_data(
+    rx_sig: jax.Array, cfg: ModemConfig, *, rate: str = "1/2",
+    interleave_bits: bool = True, noise_var: float = 1.0,
+):
+    """Inverse of encode_data: returns (data bytes, crc_ok bool).
+
+    Truncated/garbled headers yield (b'', False) rather than raising."""
+    import binascii
+
+    msg = np.asarray(decode_payload(
+        rx_sig, cfg, noise_var, interleave_bits=interleave_bits, rate=rate
+    ))
+    bits = msg.reshape(-1)
+    header = np.packbits(bits[:_HEADER_BITS].astype(np.uint8))
+    length = int(np.frombuffer(header[:4].tobytes(), np.uint32)[0])
+    crc_want = int(np.frombuffer(header[4:8].tobytes(), np.uint32)[0])
+    cap = data_capacity_bytes(cfg, rate)
+    if length > cap:
+        return b"", False
+    body_bits = bits[_HEADER_BITS : _HEADER_BITS + 8 * length]
+    data = np.packbits(body_bits.astype(np.uint8)).tobytes()[:length]
+    ok = (binascii.crc32(data) & 0xFFFFFFFF) == crc_want
+    return data, ok
+
+
 def decode_payload(
     rx_sig: jax.Array, cfg: ModemConfig,
     noise_var: float | jax.Array = 1.0, *, interleave_bits: bool = True,
