@@ -139,6 +139,16 @@ def build_parser() -> argparse.ArgumentParser:
     p_tx.add_argument("out_dir", type=Path)
     p_tx.add_argument("--seed", type=int, default=0)
 
+    p_snd = sub.add_parser(
+        "send",
+        help="stream a recorded capture dir to a `listen` process over "
+             "TCP (sample-interleaved complex64, like UHD's wire)")
+    add_common(p_snd)
+    p_snd.add_argument("capture_dir", type=Path)
+    p_snd.add_argument("--prefix", default="rx")
+    p_snd.add_argument("--host", default="127.0.0.1")
+    p_snd.add_argument("--port", type=int, required=True)
+
     p_ls = sub.add_parser(
         "listen",
         help="decode a live TCP IQ feed (sample-interleaved complex64 "
@@ -407,6 +417,21 @@ def main(argv=None):
         ).save(args.out_dir / "manifest.json")
         if not args.quiet:
             print(f"wrote {sig.shape} to {args.out_dir}")
+    elif args.command == "send":
+        import socket
+
+        try:
+            cap = capio.read_capture(args.capture_dir, cfg.num_streams,
+                                     prefix=args.prefix)
+        except FileNotFoundError as e:
+            print(f"error: capture not found: {e}", file=sys.stderr)
+            return 2
+        inter = np.ascontiguousarray(np.asarray(cap).T)  # [T, S]
+        with socket.create_connection((args.host, args.port)) as s:
+            s.sendall(inter.tobytes())
+        if not args.quiet:
+            print(f"sent {inter.shape[0]} samples/stream to "
+                  f"{args.host}:{args.port}")
     elif args.command == "listen":
         from rub_mimo_tpu.io import native
         from rub_mimo_tpu.pipeline import streaming

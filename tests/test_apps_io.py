@@ -236,3 +236,54 @@ def test_cli_listen_live_decode(tmp_path):
     assert proc.returncode == 0, out
     assert "synced=True" in out, out
     assert "symbol error rate      0: 0.0" in out, out
+
+
+def test_cli_send_listen_pair(tmp_path):
+    """Two-process live demo like the reference's TX/RX pair: `listen`
+    decodes what `send` streams from a recorded capture dir."""
+    import sys as _sys
+    from pathlib import Path
+
+    from rub_mimo_tpu.io import native
+    from rub_mimo_tpu.io import simulator
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=501, seed=11)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    capio.write_capture(tmp_path, np.asarray(cap), prefix="rx")
+    for s in range(cfg.num_streams):
+        capio.write_data(tmp_path / f"tx_data{s + 1}.dat", tx_data[s])
+
+    dims = ["--cpu", "--num_subcarriers", "64", "--cp_len", "16",
+            "--num_access_codes", "4", "--frames", "8",
+            "--modulation", "qpsk"]
+    root = str(Path(__file__).resolve().parents[1])
+    rx_proc = subprocess.Popen(
+        [_sys.executable, "-m", "rub_mimo_tpu.apps.cli", "listen",
+         *dims, "--chunk", "512", "--tx-data", str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=root,
+    )
+    try:
+        line = ""
+        for _ in range(20):
+            line = rx_proc.stdout.readline()
+            if "listening on" in line or not line:
+                break
+        assert "listening on" in line, line
+        port = line.split(":")[1].split()[0]
+        tx = subprocess.run(
+            [_sys.executable, "-m", "rub_mimo_tpu.apps.cli", "send",
+             *dims, str(tmp_path), "--port", port],
+            capture_output=True, text=True, timeout=240, cwd=root,
+        )
+        assert tx.returncode == 0, tx.stdout + tx.stderr
+        out, _ = rx_proc.communicate(timeout=240)
+    finally:
+        if rx_proc.poll() is None:
+            rx_proc.kill()
+    assert rx_proc.returncode == 0, out
+    assert "synced=True" in out, out
+    assert "symbol error rate      0: 0.0" in out, out
