@@ -329,7 +329,7 @@ def main(argv=None):
                 from rub_mimo_tpu.ofdm import fec
 
                 out, ok = fec.decode_data(
-                    result.rx_sig, cfg, rate=args.fec_rate
+                    result, cfg, rate=args.fec_rate
                 )
                 exact = out == sent_data
                 if not args.quiet:
@@ -427,8 +427,13 @@ def main(argv=None):
             print(f"error: capture not found: {e}", file=sys.stderr)
             return 2
         inter = np.ascontiguousarray(np.asarray(cap).T)  # [T, S]
-        with socket.create_connection((args.host, args.port)) as s:
-            s.sendall(inter.tobytes())
+        try:
+            with socket.create_connection((args.host, args.port)) as s:
+                s.sendall(inter.tobytes())
+        except OSError as e:
+            print(f"error: could not send to {args.host}:{args.port}: {e}",
+                  file=sys.stderr)
+            return 2
         if not args.quiet:
             print(f"sent {inter.shape[0]} samples/stream to "
                   f"{args.host}:{args.port}")

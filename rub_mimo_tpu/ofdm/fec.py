@@ -281,25 +281,12 @@ def encode_payload(
     trellis (on by default; decode_payload must match).  rate selects
     802.11a puncturing: '1/2', '2/3', '3/4'."""
     rng = np.random.default_rng(seed)
-    n_sym = cfg.pid_max * cfg.M_occupied
-    bps = cfg.modulation.bits_per_symbol
     n_msg = message_bits_per_stream(cfg, rate)
     tx_lanes, _ = _lanes(cfg)
     msg = rng.integers(
         0, 2, size=(len(tx_lanes), n_msg), dtype=np.int64
     ).astype(np.int32)
-    coded = np.asarray(conv_encode(jnp.asarray(msg)))  # [L, 2*(n+TAIL)]
-    coded = np.asarray(puncture(jnp.asarray(coded), rate))
-    pad = n_sym * bps - coded.shape[-1]
-    coded = np.pad(coded, ((0, 0), (0, pad)))
-    if interleave_bits:
-        coded = np.asarray(
-            interleave(jnp.asarray(coded), INTERLEAVE_SPREAD)
-        )
-    syms = np.asarray(bits_to_symbols(jnp.asarray(coded), cfg.modulation))
-    tx_data = np.zeros((cfg.num_streams, n_sym), dtype=np.int32)
-    tx_data[tx_lanes] = syms
-    return msg, tx_data
+    return msg, _msg_to_tx_data(msg, cfg, rate, interleave_bits)
 
 
 # ------------------------------------------------------- data transport
@@ -308,10 +295,35 @@ _HEADER_BITS = 64  # 32-bit length (bytes) + 32-bit CRC-32
 
 def data_capacity_bytes(cfg: ModemConfig, rate: str = "1/2") -> int:
     """Max user-data bytes one coded payload carries (all lanes pooled,
-    minus the length+CRC header)."""
+    minus the length+CRC header).  0 means the config cannot even carry
+    the header (encode_data refuses such configs)."""
     tx_lanes, _ = _lanes(cfg)
     total_bits = len(tx_lanes) * message_bits_per_stream(cfg, rate)
-    return max(0, (total_bits - _HEADER_BITS) // 8)
+    if total_bits < _HEADER_BITS:
+        return 0
+    return (total_bits - _HEADER_BITS) // 8
+
+
+def _msg_to_tx_data(
+    msg: np.ndarray, cfg: ModemConfig, rate: str, interleave_bits: bool
+) -> np.ndarray:
+    """[n_lanes, n_msg] message bits -> tx_data [num_streams, n_sym]
+    symbols (encode -> puncture -> pad -> interleave -> pack -> lane
+    scatter) — the one coding tail shared by encode_payload/encode_data."""
+    tx_lanes, _ = _lanes(cfg)
+    n_sym = cfg.pid_max * cfg.M_occupied
+    bps = cfg.modulation.bits_per_symbol
+    coded = np.asarray(conv_encode(jnp.asarray(msg)))  # [L, 2*(n+TAIL)]
+    coded = np.asarray(puncture(jnp.asarray(coded), rate))
+    coded = np.pad(coded, ((0, 0), (0, n_sym * bps - coded.shape[-1])))
+    if interleave_bits:
+        coded = np.asarray(
+            interleave(jnp.asarray(coded), INTERLEAVE_SPREAD)
+        )
+    syms = np.asarray(bits_to_symbols(jnp.asarray(coded), cfg.modulation))
+    tx_data = np.zeros((cfg.num_streams, n_sym), dtype=np.int32)
+    tx_data[tx_lanes] = syms
+    return tx_data
 
 
 def encode_data(
@@ -324,13 +336,17 @@ def encode_data(
     Returns tx_data [num_streams, pid_max * M_occupied] int32."""
     import binascii
 
+    tx_lanes, _ = _lanes(cfg)
+    n_msg = message_bits_per_stream(cfg, rate)
+    if len(tx_lanes) * n_msg < _HEADER_BITS:
+        raise ValueError(
+            "payload too small to carry the 64-bit length+CRC header"
+        )
     cap = data_capacity_bytes(cfg, rate)
     if len(data) > cap:
         raise ValueError(
             f"{len(data)} bytes exceed the payload capacity {cap}"
         )
-    tx_lanes, _ = _lanes(cfg)
-    n_msg = message_bits_per_stream(cfg, rate)
     header = np.frombuffer(
         np.uint32(len(data)).tobytes() +
         np.uint32(binascii.crc32(data) & 0xFFFFFFFF).tobytes(),
@@ -342,32 +358,41 @@ def encode_data(
     flat = msg.reshape(-1)
     flat[: bits.size] = bits
     msg = flat.reshape(len(tx_lanes), n_msg)
-
-    n_sym = cfg.pid_max * cfg.M_occupied
-    bps = cfg.modulation.bits_per_symbol
-    coded = np.asarray(conv_encode(jnp.asarray(msg)))
-    coded = np.asarray(puncture(jnp.asarray(coded), rate))
-    coded = np.pad(coded, ((0, 0), (0, n_sym * bps - coded.shape[-1])))
-    if interleave_bits:
-        coded = np.asarray(interleave(jnp.asarray(coded), INTERLEAVE_SPREAD))
-    syms = np.asarray(bits_to_symbols(jnp.asarray(coded), cfg.modulation))
-    tx_data = np.zeros((cfg.num_streams, n_sym), np.int32)
-    tx_data[tx_lanes] = syms
-    return tx_data
+    return _msg_to_tx_data(msg, cfg, rate, interleave_bits)
 
 
 def decode_data(
-    rx_sig: jax.Array, cfg: ModemConfig, *, rate: str = "1/2",
+    rx_sig, cfg: ModemConfig, *, rate: str = "1/2",
     interleave_bits: bool = True, noise_var: float = 1.0,
 ):
     """Inverse of encode_data: returns (data bytes, crc_ok bool).
 
-    Truncated/garbled headers yield (b'', False) rather than raising."""
+    rx_sig may be the equalized-symbol array OR a whole DecodeResult —
+    an ML decode (result.Y kept) then routes through the joint soft-LLR
+    path (its rx_sig holds hard remodulated points that would saturate
+    the Viterbi).  Truncated/garbled headers yield (b'', False) rather
+    than raising."""
     import binascii
 
-    msg = np.asarray(decode_payload(
-        rx_sig, cfg, noise_var, interleave_bits=interleave_bits, rate=rate
-    ))
+    if hasattr(rx_sig, "rx_sig"):  # a DecodeResult
+        result = rx_sig
+        if result.Y is not None:
+            msg = np.asarray(decode_payload_ml(
+                result, cfg, noise_var,
+                interleave_bits=interleave_bits, rate=rate,
+            ))
+        else:
+            msg = np.asarray(decode_payload(
+                result.rx_sig, cfg, noise_var,
+                interleave_bits=interleave_bits, rate=rate,
+            ))
+    else:
+        msg = np.asarray(decode_payload(
+            rx_sig, cfg, noise_var, interleave_bits=interleave_bits,
+            rate=rate,
+        ))
+    if msg.size < _HEADER_BITS:
+        return b"", False
     bits = msg.reshape(-1)
     header = np.packbits(bits[:_HEADER_BITS].astype(np.uint8))
     length = int(np.frombuffer(header[:4].tobytes(), np.uint32)[0])

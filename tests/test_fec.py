@@ -287,3 +287,29 @@ def test_cli_file_transfer(tmp_path):
     )
     assert rc in (0, None)
     assert dst.read_bytes() == src.read_bytes()
+
+
+def test_data_transport_header_guard_and_ml_route():
+    """Tiny payloads that cannot carry the 64-bit header are refused;
+    decode_data accepts a DecodeResult and routes ML decodes through the
+    joint soft-LLR path."""
+    from rub_mimo_tpu.config import CommMode, Detector, Modulation
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import rx
+
+    tiny = tiny_config(pid_max=1, mode=CommMode.SISO)
+    assert fec.data_capacity_bytes(tiny) == 0
+    with pytest.raises(ValueError):
+        fec.encode_data(b"", tiny)
+
+    cfg = tiny_config(bit_exact=False, pid_max=32, sync_fallback=True,
+                      modulation=Modulation.QAM16,
+                      detector=Detector.ML)
+    data = b"ml route check " * 20
+    txd = fec.encode_data(data, cfg)
+    spec = simulator.ChannelSpec(snr_db=12.0, delay=300, seed=1)
+    cap, _, _ = simulator.simulate_capture(cfg, spec, tx_data=txd)
+    r = rx.decode(cap, cfg)
+    assert r.Y is not None
+    out, ok = fec.decode_data(r, cfg)
+    assert ok and out == data
