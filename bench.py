@@ -27,7 +27,10 @@ def main():
                     help="decode N captures per device program (vmap); the "
                          "single-capture decode is launch-latency-bound, so "
                          "batching raises sustained serving throughput")
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=15,
+                    help="timed repetitions; best-of is reported (the "
+                         "tunneled attachment adds multi-ms dispatch "
+                         "jitter an order above the decode itself)")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
