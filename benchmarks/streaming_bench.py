@@ -1,0 +1,96 @@
+"""Online (streaming) decode throughput: chunks arriving one at a time.
+
+Unlike bench.py (one whole-capture program), this measures the chunked
+StreamingDecoder — per-chunk host->device transfer + jitted step + state
+carry — i.e. the sustained rate a live ingest front end (io.native
+SocketReader / StreamReader) could feed.  Reports samples/s over the
+full capture and the mean per-chunk latency.
+
+  python benchmarks/streaming_bench.py            # real chip, full size
+  python benchmarks/streaming_bench.py --tiny --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--chunk", type=int, default=1 << 19)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/rub_mimo_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from rub_mimo_tpu.config import ModemConfig, tiny_config
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import streaming
+
+    if args.tiny:
+        cfg = tiny_config(bit_exact=False, pid_max=min(args.frames, 64))
+        chunk = min(args.chunk, 1 << 12)
+    else:
+        cfg = ModemConfig(pid_max=args.frames, bit_exact=False)
+        chunk = args.chunk
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=5000, seed=42)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    from rub_mimo_tpu.utils.transfer import to_host
+
+    cap = np.asarray(to_host(cap))  # complex64 host fetch (axon quirk)
+    S, T = cap.shape
+
+    # warm-up pass compiles every phase step
+    dec = streaming.decode_stream(cap, cfg, chunk_size=chunk)
+    dec.finalize()
+    assert dec.synced
+
+    t0 = time.perf_counter()
+    dec = streaming.StreamingDecoder(cfg, chunk_size=chunk)
+    n_chunks = 0
+    for i in range(0, T, chunk):
+        c = np.zeros((S, chunk), np.complex64)
+        c[:, : min(chunk, T - i)] = cap[:, i : i + chunk]
+        dec.push(c)
+        n_chunks += 1
+    dec.finalize()
+    dt = time.perf_counter() - t0
+    assert dec.synced
+
+    _, rx_data = dec.result()
+    n = cfg.pid_max * cfg.M_occupied
+    errs = int((rx_data[:, :n] != tx_data[:, :n]).sum())
+    print(json.dumps({
+        "metric": "streaming_decode_throughput",
+        "value": round(S * T / dt, 1),
+        "unit": "IQ samples/s/chip",
+        "chunk": chunk,
+        "chunks": n_chunks,
+        "ms_per_chunk": round(dt / n_chunks * 1e3, 3),
+        "symbol_errors": errs,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -81,19 +81,21 @@ class StreamingDecoder:
 
         # ---- device state ----
         self.gpos = 0  # host: global samples consumed
-        self._tail = jnp.zeros((S, M - 1), jnp.complex64)
-        self._recent = jnp.zeros((S, self._recent_len), jnp.complex64)
+        self._tail = jnp.asarray(np.zeros((S, M - 1), np.complex64))
+        self._recent = jnp.asarray(
+            np.zeros((S, self._recent_len), np.complex64))
         self._last_below = -jnp.ones((S,), jnp.int32)
         self.phase = "seek"
         self.synced = False
         self.sync_index: Optional[int] = None
-        self._region = jnp.zeros((S, self.region_len), jnp.complex64)
+        self._region = jnp.asarray(
+            np.zeros((S, self.region_len), np.complex64))
         self.region_start: Optional[int] = None
         self.W = None
         self.gain = None
         self.G = None
         self.decode_start: Optional[int] = None  # global frame-0 CP start
-        self._ptail = jnp.zeros((S, sym - 1), jnp.complex64)
+        self._ptail = jnp.asarray(np.zeros((S, sym - 1), np.complex64))
         self.frames: dict[int, np.ndarray] = {}  # k -> [S, m_occ] complex64
         self._pend: dict[int, np.ndarray] = {}  # raw Y awaiting its pair
         self.cfo_hat = 0.0       # accumulated CFO estimate (subcarriers)
@@ -341,7 +343,7 @@ class StreamingDecoder:
     def push(self, chunk) -> List[Tuple[int, np.ndarray]]:
         """Feed one [S, chunk_size] chunk; returns newly decoded frames as
         (frame_index, [S, M_occupied] complex64) pairs."""
-        chunk = jnp.asarray(chunk)
+        chunk = np.asarray(chunk)
         if chunk.shape != (self.S, self.C):
             raise ValueError(
                 f"chunk must be [{self.S}, {self.C}], got {chunk.shape}"
@@ -354,7 +356,10 @@ class StreamingDecoder:
                 if len(self._fe_buf) < self._fe_warmup:
                     return []
                 return self._fe_start()
-            chunk = frontend.compensate(chunk, self._fe_dc, self._fe_w)
+            chunk = np.asarray(to_host(
+                frontend.compensate(jnp.asarray(chunk), self._fe_dc,
+                                    self._fe_w)
+            ))
         return self._push_inner(chunk)
 
     def _fe_start(self) -> List[Tuple[int, np.ndarray]]:
@@ -362,13 +367,14 @@ class StreamingDecoder:
         replay the buffered chunks through the compensated path."""
         from rub_mimo_tpu.estimate import frontend
 
-        allc = jnp.concatenate(self._fe_buf, axis=-1)
+        allc = jnp.asarray(np.concatenate(self._fe_buf, axis=-1))
         self._fe_dc, self._fe_w = frontend.estimate_frontend(allc)
         emitted: List[Tuple[int, np.ndarray]] = []
         for c in self._fe_buf:
-            emitted += self._push_inner(
-                frontend.compensate(c, self._fe_dc, self._fe_w)
-            )
+            emitted += self._push_inner(np.asarray(
+                to_host(frontend.compensate(jnp.asarray(c), self._fe_dc,
+                                            self._fe_w))
+            ))
         self._fe_buf = []
         return emitted
 
@@ -376,6 +382,10 @@ class StreamingDecoder:
         cfg = self.cfg
         emitted: List[Tuple[int, np.ndarray]] = []
         gpos = self.gpos
+        chunk_np = np.asarray(chunk)   # host copy: eager slicing is safe
+        chunk = jnp.asarray(chunk_np)  # device copy for the jitted steps
+        # (numpy complex arrays cannot be passed directly into jit on the
+        # axon attachment; jnp.asarray's host->device path works)
 
         M = cfg.M
         if self.phase == "seek":
@@ -484,7 +494,7 @@ class StreamingDecoder:
             self._enqueue(self._region, self.region_start)
             overshoot = self.gpos - region_end
             if overshoot > 0:
-                rem = chunk[:, self.C - overshoot :]
+                rem = jnp.asarray(chunk_np[:, self.C - overshoot :])
                 if cfg.correct_cfo and self._eps0 != 0.0:
                     # the payload queue lives in coarse-derotated space
                     rem = self._derotate(
@@ -497,6 +507,11 @@ class StreamingDecoder:
         return emitted
 
     def _enqueue(self, data, data_gpos: int) -> None:
+        # the queue lives on host: eager complex slicing of DEVICE arrays
+        # fails on the axon attachment (and a failed transfer poisons the
+        # array), so device outputs are fetched through to_host here
+        if not isinstance(data, np.ndarray):
+            data = to_host(data)
         self._pq.append((data, int(data_gpos)))
         self._pq_len += int(data.shape[-1])
 
@@ -521,10 +536,12 @@ class StreamingDecoder:
                 self._pq.insert(0, (data[:, take:], gp + take))
             got += take
         self._pq_len -= n
-        return jnp.concatenate(parts, axis=-1), base_gpos
+        return np.concatenate(parts, axis=-1), base_gpos
 
     def _payload_block(self, seg) -> List[Tuple[int, np.ndarray]]:
         data, data_gpos = seg
+        if isinstance(data, np.ndarray):
+            data = jnp.asarray(data)
         if self.cfg.correct_cfo and self._eps_r != 0.0:
             # queued payload is in coarse-derotated space; apply the
             # post-estimation rotation (phase ref = region start)
@@ -558,7 +575,7 @@ class StreamingDecoder:
         if pad != self.C:
             last_gpos = self._pq[-1][1] + self._pq[-1][0].shape[-1]
             self._enqueue(
-                jnp.zeros((self.S, pad), jnp.complex64), last_gpos
+                np.zeros((self.S, pad), np.complex64), last_gpos
             )
         return out + self._drain()
 

@@ -46,24 +46,33 @@ def _to_f32():
 
 
 def to_host(x: Any) -> np.ndarray:
-    """Fetch a jax array as numpy, working around limited-transfer backends."""
+    """Fetch a jax array as numpy, working around limited-transfer backends.
+
+    Dtype is inspected BEFORE attempting a direct transfer: on the axon
+    attachment a failed complex64/bool transfer attempt poisons the
+    array (every later operation on it raises UNIMPLEMENTED too), so the
+    unsupported dtypes must route through the jitted conversion without
+    ever trying np.asarray first."""
     import jax.numpy as jnp
 
     if isinstance(x, np.ndarray) or np.isscalar(x):
         return np.asarray(x)
-    try:
-        return np.asarray(x)
-    except Exception:
-        pass
-    dt = x.dtype
-    if dt in (jnp.complex64, jnp.complex128):
-        re, im = _splitter()(x)
-        return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
-    if dt == jnp.bool_:
-        return np.asarray(_to_i32()(x)).astype(bool)
-    if np.issubdtype(np.dtype(dt), np.integer):
-        return np.asarray(_to_i32()(x))
-    return np.asarray(_to_f32()(x))
+    dt = getattr(x, "dtype", None)
+    if dt is not None:
+        if dt in (jnp.complex64, jnp.complex128):
+            re, im = _splitter()(x)
+            return (np.asarray(re) + 1j * np.asarray(im)).astype(
+                np.complex64
+            )
+        if dt == jnp.bool_:
+            return np.asarray(_to_i32()(x)).astype(bool)
+        if np.issubdtype(np.dtype(dt), np.integer) and np.dtype(
+                dt) != np.int32:
+            return np.asarray(_to_i32()(x))
+        if np.issubdtype(np.dtype(dt), np.floating) and np.dtype(
+                dt) != np.float32:
+            return np.asarray(_to_f32()(x))
+    return np.asarray(x)
 
 
 @functools.lru_cache(maxsize=None)
