@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,23 +83,33 @@ class StreamingDecoder:
 
         # ---- device state ----
         self.gpos = 0  # host: global samples consumed
-        self._tail = jnp.asarray(np.zeros((S, M - 1), np.complex64))
-        self._recent = jnp.asarray(
-            np.zeros((S, self._recent_len), np.complex64))
+        # all-zero complex device states are CREATED ON DEVICE via jit:
+        # a host->device complex upload intermittently fails on the axon
+        # tunnel (and poisons the array for every later use)
+        def _czeros(shape):
+            return jax.jit(lambda: jnp.zeros(shape, jnp.complex64))()
+
+        self._tail = _czeros((S, M - 1))
+        self._recent = _czeros((S, self._recent_len))
         self._last_below = -jnp.ones((S,), jnp.int32)
         self.phase = "seek"
         self.synced = False
         self.sync_index: Optional[int] = None
-        self._region = jnp.asarray(
-            np.zeros((S, self.region_len), np.complex64))
+        self._region = _czeros((S, self.region_len))
         self.region_start: Optional[int] = None
         self.W = None
         self.gain = None
         self.G = None
         self.decode_start: Optional[int] = None  # global frame-0 CP start
-        self._ptail = jnp.asarray(np.zeros((S, sym - 1), np.complex64))
+        self._ptail = _czeros((S, sym - 1))
         self.frames: dict[int, np.ndarray] = {}  # k -> [S, m_occ] complex64
         self._pend: dict[int, np.ndarray] = {}  # raw Y awaiting its pair
+        # device-resident payload ring queue (zero per-chunk transfers)
+        self._ring_len = self.region_len + 3 * self.C
+        self._q_r = 0          # read offset into the ring
+        self._q_w = 0          # write offset
+        self._q_count = 0      # buffered samples
+        self._q_gpos = 0       # global position of the sample at _q_r
         self.cfo_hat = 0.0       # accumulated CFO estimate (subcarriers)
         self._eps0 = 0.0         # coarse rotation applied to incoming data
         self._eps_r = 0.0        # post-estimation rotation (ref region_start)
@@ -332,6 +344,32 @@ class StreamingDecoder:
         self._estimate_step = estimate_step
         self._payload_step = payload_step
         self._payload_step_track = payload_step_track
+        L = self._ring_len
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def ring_write(ring, data, start, w, n):
+            """Scatter data[:, start:start+n] at ring offset w (wrapping)."""
+            sl = jax.lax.dynamic_slice(
+                data, (jnp.int32(0), start.astype(jnp.int32)), (S, n)
+            )
+            idx = (w + jnp.arange(n, dtype=jnp.int32)) % L
+            return ring.at[:, idx].set(sl)
+
+        @jax.jit
+        def ring_read(ring, r):
+            idx = (r + jnp.arange(C, dtype=jnp.int32)) % L
+            return ring[:, idx]
+
+        # created ON DEVICE (a host->device complex upload can hit the
+        # axon tunnel's transfer limitations; a jitted constant cannot)
+        self._ring = jax.jit(
+            lambda: jnp.zeros((S, L), jnp.complex64)
+        )()
+        self._zero_chunk = jax.jit(
+            lambda: jnp.zeros((S, C), jnp.complex64)
+        )()
+        self._ring_write = ring_write
+        self._ring_read = ring_read
         self._recent_step = recent_step
         self._fb_step = fb_step
         self._derotate = derotate
@@ -341,9 +379,9 @@ class StreamingDecoder:
 
     # ------------------------------------------------------------------ #
     def push(self, chunk) -> List[Tuple[int, np.ndarray]]:
-        """Feed one [S, chunk_size] chunk; returns newly decoded frames as
+        """Feed one [S, chunk_size] chunk (numpy or device array);
+        returns newly decoded frames as
         (frame_index, [S, M_occupied] complex64) pairs."""
-        chunk = np.asarray(chunk)
         if chunk.shape != (self.S, self.C):
             raise ValueError(
                 f"chunk must be [{self.S}, {self.C}], got {chunk.shape}"
@@ -352,6 +390,8 @@ class StreamingDecoder:
             from rub_mimo_tpu.estimate import frontend
 
             if self._fe_dc is None:
+                if not isinstance(chunk, np.ndarray):
+                    chunk = np.asarray(to_host(chunk))
                 self._fe_buf.append(chunk)
                 if len(self._fe_buf) < self._fe_warmup:
                     return []
@@ -382,10 +422,11 @@ class StreamingDecoder:
         cfg = self.cfg
         emitted: List[Tuple[int, np.ndarray]] = []
         gpos = self.gpos
-        chunk_np = np.asarray(chunk)   # host copy: eager slicing is safe
-        chunk = jnp.asarray(chunk_np)  # device copy for the jitted steps
-        # (numpy complex arrays cannot be passed directly into jit on the
-        # axon attachment; jnp.asarray's host->device path works)
+        if isinstance(chunk, np.ndarray):
+            # numpy complex arrays cannot be passed directly into jit on
+            # the axon attachment; jnp.asarray's host->device path works.
+            # Device chunks (e.g. sliced on device by a bench) pass as-is.
+            chunk = jnp.asarray(chunk)
 
         M = cfg.M
         if self.phase == "seek":
@@ -489,59 +530,66 @@ class StreamingDecoder:
             # everything consumed so far lives in the region buffer (and
             # possibly an overshoot tail of this chunk beyond region_end)
             region_end = self.region_start + self.region_len
-            self._pq = []          # queued (data, gpos) payload segments
-            self._pq_len = 0
+            self._q_r = self._q_w = self._q_count = 0
+            self._q_gpos = self.region_start
             self._enqueue(self._region, self.region_start)
             overshoot = self.gpos - region_end
             if overshoot > 0:
-                rem = jnp.asarray(chunk_np[:, self.C - overshoot :])
+                src = chunk
                 if cfg.correct_cfo and self._eps0 != 0.0:
                     # the payload queue lives in coarse-derotated space
-                    rem = self._derotate(
-                        rem, jnp.float32(self._eps0),
-                        jnp.float32(region_end), jnp.float32(0.0),
+                    src = self._derotate(
+                        chunk, jnp.float32(self._eps0),
+                        jnp.float32(gpos), jnp.float32(0.0),
                     )
-                self._enqueue(rem, region_end)
+                self._enqueue(src, region_end,
+                              start=self.C - overshoot, n=overshoot)
 
         emitted += self._drain()
         return emitted
 
-    def _enqueue(self, data, data_gpos: int) -> None:
-        # the queue lives on host: eager complex slicing of DEVICE arrays
-        # fails on the axon attachment (and a failed transfer poisons the
-        # array), so device outputs are fetched through to_host here
-        if not isinstance(data, np.ndarray):
-            data = to_host(data)
-        self._pq.append((data, int(data_gpos)))
-        self._pq_len += int(data.shape[-1])
+    def _enqueue(self, data, data_gpos: int, start: int = 0,
+                 n: int | None = None) -> None:
+        """Append data[:, start:start+n] to the DEVICE ring queue (one
+        jitted scatter; nothing crosses the host boundary — eager complex
+        ops and complex transfers are unreliable on the axon tunnel)."""
+        if isinstance(data, np.ndarray):
+            data = jnp.asarray(data)
+        if n is None:
+            n = int(data.shape[-1]) - start
+        if n <= 0:
+            return
+        if self._q_count and data_gpos != self._q_gpos + self._q_count:
+            raise AssertionError("payload queue must stay contiguous")
+        if self._q_count == 0:
+            self._q_gpos = int(data_gpos)
+        if self._q_count + n > self._ring_len:
+            raise AssertionError("payload ring overflow")
+        self._ring = self._ring_write(
+            self._ring, data, jnp.int32(start), jnp.int32(self._q_w), n
+        )
+        self._q_w = (self._q_w + n) % self._ring_len
+        self._q_count += n
 
     def _drain(self) -> List[Tuple[int, np.ndarray]]:
         """Consume the payload queue in exact C-sized steps."""
         if self.phase != "payload":
             return []
         out: List[Tuple[int, np.ndarray]] = []
-        while self._pq_len >= self.C:
-            seg = self._dequeue(self.C)
-            out += self._payload_block(seg)
+        while self._q_count >= self.C:
+            out += self._payload_block(self._dequeue())
         return out
 
-    def _dequeue(self, n: int):
-        parts, got = [], 0
-        base_gpos = self._pq[0][1]
-        while got < n:
-            data, gp = self._pq.pop(0)
-            take = min(n - got, data.shape[-1])
-            parts.append(data[:, :take])
-            if take < data.shape[-1]:
-                self._pq.insert(0, (data[:, take:], gp + take))
-            got += take
-        self._pq_len -= n
-        return np.concatenate(parts, axis=-1), base_gpos
+    def _dequeue(self):
+        data = self._ring_read(self._ring, jnp.int32(self._q_r))
+        gp = self._q_gpos
+        self._q_r = (self._q_r + self.C) % self._ring_len
+        self._q_count -= self.C
+        self._q_gpos += self.C
+        return data, gp
 
     def _payload_block(self, seg) -> List[Tuple[int, np.ndarray]]:
         data, data_gpos = seg
-        if isinstance(data, np.ndarray):
-            data = jnp.asarray(data)
         if self.cfg.correct_cfo and self._eps_r != 0.0:
             # queued payload is in coarse-derotated space; apply the
             # post-estimation rotation (phase ref = region start)
@@ -569,14 +617,12 @@ class StreamingDecoder:
             # stream ended inside the warmup window: estimate on what we
             # have and replay
             out += self._fe_start()
-        if self.phase != "payload" or self._pq_len == 0:
+        if self.phase != "payload" or self._q_count == 0:
             return out
-        pad = self.C - (self._pq_len % self.C)
+        pad = self.C - (self._q_count % self.C)
         if pad != self.C:
-            last_gpos = self._pq[-1][1] + self._pq[-1][0].shape[-1]
-            self._enqueue(
-                np.zeros((self.S, pad), np.complex64), last_gpos
-            )
+            last_gpos = self._q_gpos + self._q_count
+            self._enqueue(self._zero_chunk, last_gpos, n=pad)
         return out + self._drain()
 
     def _emit(self, eq, ks, owned):
