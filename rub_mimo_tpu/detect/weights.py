@@ -32,6 +32,36 @@ def weights_for(
     mmse_auto_noise needs the estimation window + access-code offsets to
     derive sigma^2 (estimate.ls.estimate_noise_var).
     """
+    nv = resolve_noise_var(cfg, G, window, ac_index)
+    return weights_from(cfg, G_occ, nv)
+
+
+def resolve_noise_var(
+    cfg: ModemConfig,
+    G: jax.Array,
+    window: Optional[jax.Array] = None,
+    ac_index: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The sigma^2 the MMSE/SIC detectors will use: measured from the
+    estimation window when mmse_auto_noise, else the configured constant."""
+    if cfg.detector == Detector.MMSE and cfg.mmse_auto_noise:
+        if window is None or ac_index is None:
+            raise ValueError(
+                "mmse_auto_noise requires the estimation window and "
+                "access-code offsets"
+            )
+        from rub_mimo_tpu.estimate import ls
+
+        return ls.estimate_noise_var(window, ac_index, G, cfg)
+    return jnp.float32(cfg.mmse_noise_var)
+
+
+def weights_from(
+    cfg: ModemConfig, G_occ: jax.Array, noise_var: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """(W, gain) from the (possibly subcarrier-sliced) occupied-carrier
+    channel — per-subcarrier independent, so the 'sc'-sharded decoder can
+    call it on each device's slice and get bitwise-identical rows."""
     S = cfg.num_streams
     m_occ = G_occ.shape[0]
     if cfg.mode in (CommMode.SISO, CommMode.RX_DIVERSITY,
@@ -44,16 +74,5 @@ def weights_for(
             jnp.ones((m_occ,), dtype=jnp.float32),
         )
     if cfg.detector == Detector.MMSE:
-        if cfg.mmse_auto_noise:
-            if window is None or ac_index is None:
-                raise ValueError(
-                    "mmse_auto_noise requires the estimation window and "
-                    "access-code offsets"
-                )
-            from rub_mimo_tpu.estimate import ls
-
-            nv = ls.estimate_noise_var(window, ac_index, G, cfg)
-        else:
-            nv = cfg.mmse_noise_var
-        return mmse_mod.mmse_weights(G_occ, nv)
+        return mmse_mod.mmse_weights(G_occ, noise_var)
     return zf_mod.invert(G_occ, cfg.invert_to_unity)

@@ -29,38 +29,44 @@ from rub_mimo_tpu.config import ModemConfig
 from rub_mimo_tpu.ofdm import preamble, sctype
 
 
-def estimate_channel(
+def code_ffts(
     window: jax.Array,
-    ac_index: jax.Array,
+    offsets: jax.Array,
     cfg: ModemConfig,
 ) -> jax.Array:
-    """LS channel estimate Ghat: [M, num_streams(rx), num_streams(tx)].
+    """Unnormalized M-point FFTs of the access-code windows.
 
-    window:   [streams, W] complex — the replay window
-    ac_index: [streams(rx), codes*streams] int32 — absolute window offsets
-              of each access code's correlation peak (matched_filter.search)
+    offsets: [n_codes, rx, tx] int32 — any subset of the per-code argmax
+    offsets (the subcarrier-sharded decoder hands each 'sc' device its own
+    chunk of codes; each output row depends only on its own offsets, so
+    chunked evaluation is bitwise identical to the full batch).
+
+    Returns X [n_codes, S(rx), S(tx), M].
     """
     S = cfg.num_streams
     M = cfg.M
-    codes = cfg.num_access_codes
-    t = preamble.tables(cfg)
-    p = cfg.subcarrier_allocation()
-    occ = jnp.asarray(sctype.occupied_mask(p))
-    m_occ = cfg.M_occupied
-    dft_normalizer = np.float32(1.0 / np.sqrt(m_occ))
-
-    # offsets[code, rx, tx] = ac_index[rx, code*S + tx] (framing.cc:804-806)
-    offsets = ac_index.reshape(S, codes, S).transpose(1, 0, 2)  # [code, rx, tx]
+    n_codes = offsets.shape[0]
 
     def slice_one(off, rx):
         return jax.lax.dynamic_slice(window[rx], (off,), (M,))
 
     flat_off = offsets.reshape(-1)
     rx_ids = jnp.tile(
-        jnp.repeat(jnp.arange(S, dtype=jnp.int32), S), codes
+        jnp.repeat(jnp.arange(S, dtype=jnp.int32), S), n_codes
     )  # [code*S(rx)*S(tx)] — rx varies over the middle axis
-    wins = jax.vmap(slice_one)(flat_off, rx_ids)  # [codes*S*S, M]
-    X = jnp.fft.fft(wins.reshape(codes, S, S, M), axis=-1)  # unnormalized
+    wins = jax.vmap(slice_one)(flat_off, rx_ids)  # [n_codes*S*S, M]
+    return jnp.fft.fft(wins.reshape(n_codes, S, S, M), axis=-1)
+
+
+def channel_from_ffts(X: jax.Array, cfg: ModemConfig) -> jax.Array:
+    """LS estimate from the FULL code-FFT batch X [codes, rx, tx, M]."""
+    S = cfg.num_streams
+    codes = cfg.num_access_codes
+    t = preamble.tables(cfg)
+    p = cfg.subcarrier_allocation()
+    occ = jnp.asarray(sctype.occupied_mask(p))
+    m_occ = cfg.M_occupied
+    dft_normalizer = np.float32(1.0 / np.sqrt(m_occ))
 
     # S1[tx, code, sc] -> [code, 1(rx), tx, sc]
     S1 = jnp.asarray(t.S1).transpose(1, 0, 2)[:, None, :, :]
@@ -73,6 +79,28 @@ def estimate_channel(
         Gsum = Gsum + eye
     G = Gsum * (dft_normalizer / np.float32(codes))
     return G.astype(jnp.complex64)
+
+
+def ac_offsets(ac_index: jax.Array, cfg: ModemConfig) -> jax.Array:
+    """[codes, rx, tx] offsets from the matched-filter ac_index layout:
+    offsets[code, rx, tx] = ac_index[rx, code*S + tx] (framing.cc:804-806)."""
+    S = cfg.num_streams
+    return ac_index.reshape(S, cfg.num_access_codes, S).transpose(1, 0, 2)
+
+
+def estimate_channel(
+    window: jax.Array,
+    ac_index: jax.Array,
+    cfg: ModemConfig,
+) -> jax.Array:
+    """LS channel estimate Ghat: [M, num_streams(rx), num_streams(tx)].
+
+    window:   [streams, W] complex — the replay window
+    ac_index: [streams(rx), codes*streams] int32 — absolute window offsets
+              of each access code's correlation peak (matched_filter.search)
+    """
+    X = code_ffts(window, ac_offsets(ac_index, cfg), cfg)
+    return channel_from_ffts(X, cfg)
 
 
 def estimate_noise_var(
@@ -94,23 +122,21 @@ def estimate_noise_var(
     The residual also contains channel-estimation error (order 1/codes),
     which slightly overestimates sigma^2 — a safe direction for MMSE.
     """
+    X = code_ffts(window, ac_offsets(ac_index, cfg), cfg)
+    return noise_var_from_ffts(X, G, cfg)
+
+
+def noise_var_from_ffts(
+    X: jax.Array, G: jax.Array, cfg: ModemConfig
+) -> jax.Array:
+    """estimate_noise_var from a precomputed FULL code-FFT batch X."""
     S = cfg.num_streams
-    M = cfg.M
     codes = cfg.num_access_codes
     t = preamble.tables(cfg)
     p = cfg.subcarrier_allocation()
     occ = jnp.asarray(sctype.occupied_mask(p))
     m_occ = cfg.M_occupied
 
-    offsets = ac_index.reshape(S, codes, S).transpose(1, 0, 2)
-
-    def slice_one(off, rx):
-        return jax.lax.dynamic_slice(window[rx], (off,), (M,))
-
-    flat_off = offsets.reshape(-1)
-    rx_ids = jnp.tile(jnp.repeat(jnp.arange(S, dtype=jnp.int32), S), codes)
-    wins = jax.vmap(slice_one)(flat_off, rx_ids)
-    X = jnp.fft.fft(wins.reshape(codes, S, S, M), axis=-1)
     S1 = jnp.asarray(t.S1).transpose(1, 0, 2)[:, None, :, :]
     ratio = X / jnp.where(occ, S1, 1.0)  # [code, rx, tx, M]
     # expected value per (rx, tx, sc): Ghat * sqrt(M_occ)

@@ -12,17 +12,26 @@ time axis — millions of IQ samples the reference walks serially per sample
 
   stage B — preamble-region gather: each shard masks out its overlap with
     the ~(n_seq+1)-symbol estimation region and a psum over 'time'
-    replicates it everywhere (the CSI all-gather of SURVEY §2.6); matched
-    filter + LS estimate + detector weights then run replicated — the
-    sharded equivalent of the reference's single windowcf buffer
-    (framing.cc:700).
+    replicates it everywhere (the CSI all-gather of SURVEY §2.6); the
+    matched-filter search then shards its 41-template axis over 'sc'
+    (_mf_stage) and the LS estimate shards its 20-code FFT batch over
+    'sc' (_estimate_stage) — the sharded equivalent of the reference's
+    single windowcf buffer (framing.cc:700) with the second mesh axis
+    doing real work.
 
-  stage C — payload decode: every shard decodes exactly the OFDM symbols
-    whose first sample lands in its block, reading up to symbol_len
-    samples into a right-neighbor halo (ppermute again); CP-strip + batched
-    FFT + equalize + demap run entirely on-shard with the replicated
-    weights, and the per-shard symbol slabs are scatter-assembled into the
-    global [streams, pid_max, M_occupied] output.
+  stage C — payload FFT: every shard CP-strips + FFTs exactly the OFDM
+    symbols whose first sample lands in its block, reading up to
+    symbol_len samples into a right-neighbor halo (ppermute again), with
+    the symbols striped over 'sc' so an (n_time x n_sc) mesh divides the
+    FFT work n_time*n_sc ways; the per-device symbol slabs are
+    scatter/psum-assembled into the global [pid_max, streams, M_occupied]
+    frequency grid.
+
+  stage D — equalize: the per-subcarrier MIMO solves (the reference's
+    "model dim", framing.cc:570-578/826-832) shard over 'sc'
+    (_equalize_stage): each device computes detector weights and
+    equalizes its contiguous slice of occupied carriers; slices are
+    psum-assembled and the cheap postprocess/demap tail runs replicated.
 
 Constraint: T / n_time >= symbol_len (each shard must own at least one
 symbol start).  Captures are padded by parallel.mesh.shard_capture.
@@ -44,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rub_mimo_tpu.config import CommMode, ModemConfig
+from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
 from rub_mimo_tpu.estimate import ls
 from rub_mimo_tpu.ofdm import constellation, sctype
 from rub_mimo_tpu.sync import matched_filter, schmidl_cox
@@ -185,26 +194,39 @@ def _derotate_stage(local: jax.Array, eps: jax.Array, ref: jax.Array,
     return (local * rot[None, :]).astype(jnp.complex64)
 
 
+def _chunk(n: int, parts: int):
+    """(chunk, padded) — smallest equal split of n over parts."""
+    chunk = -(-n // parts)
+    return chunk, chunk * parts
+
+
 # --------------------------------------------------------------- stage C
 def _payload_stage(
     local: jax.Array,
     pstart: jax.Array,
-    W: jax.Array,
-    gain: jax.Array,
-    G_occ: jax.Array,
     cfg: ModemConfig,
     n_time: int,
+    n_sc: int,
     occ_idx: jax.Array,
 ):
-    """Decode the OFDM symbols whose start sample falls in this shard.
+    """CP-strip + FFT the OFDM symbols whose start sample falls in this
+    shard's time block, striped over the 'sc' axis.
 
-    Returns (eq [1, nloc, S, m_occ], k_ids [1, nloc], valid [1, nloc]).
+    Device (t, s) handles the local symbol slots j with j % n_sc == s, so a
+    (n_time x n_sc) mesh divides the payload FFT work n_time*n_sc ways
+    (each symbol is owned by exactly one device).  Returns the RAW
+    frequency-domain grid [pid_max, S, m_occ], psum-assembled over both
+    axes and replicated everywhere; equalization happens in the
+    subcarrier-sharded _equalize_stage (or the Alamouti/tracking tails,
+    which need cross-symbol structure and run replicated).
     """
     S, Tloc = local.shape
     sym = cfg.symbol_len
     m_occ = cfg.M_occupied
     nloc = -(-Tloc // sym) + 1
+    nloc_sc = -(-nloc // n_sc)
     me = jax.lax.axis_index("time")
+    sc_rank = jax.lax.axis_index("sc")
     base = me * Tloc
 
     if n_time > 1:
@@ -220,8 +242,9 @@ def _payload_stage(
     k0 = jnp.maximum(0, -((pstart - base) // sym)).astype(jnp.int32)
     rel0 = pstart + k0 * sym - base  # in [0, sym) when k0 > 0
 
-    ks = k0 + jnp.arange(nloc, dtype=jnp.int32)
-    rels = rel0 + jnp.arange(nloc, dtype=jnp.int32) * sym
+    js = sc_rank + jnp.arange(nloc_sc, dtype=jnp.int32) * n_sc
+    ks = k0 + js
+    rels = rel0 + js * sym
     owned = (rels >= 0) & (rels < Tloc) & (ks < cfg.pid_max)
 
     def grab(rel):
@@ -230,37 +253,151 @@ def _payload_stage(
             ext, (jnp.int32(0), start.astype(jnp.int32)), (S, sym)
         )
 
-    wins = jax.vmap(grab)(rels)  # [nloc, S, sym]
+    wins = jax.vmap(grab)(rels)  # [nloc_sc, S, sym]
     x_t = wins[:, :, cfg.cp_len :]
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
-    Y = X[:, :, occ_idx]  # [nloc, S, m_occ]
-    if cfg.mode == CommMode.ALAMOUTI or cfg.track_channel:
-        # Alamouti pairs span adjacent symbols (possibly different shards)
-        # and channel tracking is sequential across payload blocks: both
-        # emit the RAW frequency-domain symbols; combining / the tracking
-        # scan / postprocessing happen on the assembled global grid
-        # (build_sharded_decoder.run) — the expensive CP-strip+FFT work
-        # stays sharded, the cheap sequential tail runs replicated.
-        dest = jnp.where(owned, ks, jnp.int32(cfg.pid_max))
-        local_out = jnp.zeros(
-            (cfg.pid_max + 1, S, m_occ), dtype=jnp.complex64
-        ).at[dest].add(jnp.where(owned[:, None, None], Y, 0))
-        return jax.lax.psum(local_out[: cfg.pid_max], "time")
-    from rub_mimo_tpu.detect.dispatch import equalize_dispatch
+    Y = X[:, :, occ_idx]  # [nloc_sc, S, m_occ]
 
-    eq = equalize_dispatch(Y, G_occ, W, gain, cfg)
-    from rub_mimo_tpu.detect.postprocess import postprocess_eq
-
-    eq = postprocess_eq(eq, cfg)
-
-    # scatter this shard's symbols into the global [pid, S, m_occ] grid and
-    # psum-assemble (each symbol is owned by exactly one shard; row pid_max
-    # is the trash slot for unowned lanes)
+    # scatter this device's symbols into the global [pid, S, m_occ] grid
+    # and psum-assemble over BOTH mesh axes (each symbol has exactly one
+    # owner; row pid_max is the trash slot for unowned lanes)
     dest = jnp.where(owned, ks, jnp.int32(cfg.pid_max))
     local_out = jnp.zeros(
         (cfg.pid_max + 1, S, m_occ), dtype=jnp.complex64
-    ).at[dest].add(jnp.where(owned[:, None, None], eq, 0))
-    return jax.lax.psum(local_out[: cfg.pid_max], "time")
+    ).at[dest].add(jnp.where(owned[:, None, None], Y, 0))
+    return jax.lax.psum(local_out[: cfg.pid_max], ("time", "sc"))
+
+
+# --------------------------------------------------------------- stage D
+def _equalize_stage(
+    Ygrid: jax.Array,
+    G_occ: jax.Array,
+    noise_var: jax.Array,
+    cfg: ModemConfig,
+    n_sc: int,
+):
+    """Per-subcarrier equalization, sharded over the 'sc' mesh axis.
+
+    The per-subcarrier independence of the MIMO solves
+    (mimo/framing.cc:570-578, 826-832) is the reference's "model dim"
+    (SURVEY §2.6): each 'sc' device computes detector weights for its
+    contiguous slice of occupied carriers (detect.weights.weights_from on
+    the slice — ZF adjugate / MMSE solve / ML lattice / SIC are all
+    per-carrier batched ops) and equalizes the whole symbol grid on that
+    slice.  Slices are scatter/psum-assembled; because every op is
+    per-carrier independent, the result is bitwise identical to the
+    offline path.  Replicated output (postprocess + demap run outside,
+    identical to pipeline.rx).
+    """
+    from rub_mimo_tpu.detect.dispatch import equalize_dispatch
+    from rub_mimo_tpu.detect.weights import weights_from
+
+    n_sym, S, m_occ = Ygrid.shape
+    chunk, m_pad = _chunk(m_occ, n_sc)
+    rank = jax.lax.axis_index("sc")
+
+    Yp = jnp.pad(Ygrid, ((0, 0), (0, 0), (0, m_pad - m_occ)))
+    # pad the channel with identity matrices so the padded lanes stay
+    # finite (they are dropped after assembly)
+    eye = jnp.broadcast_to(
+        jnp.eye(S, dtype=G_occ.dtype), (m_pad - m_occ, S, S)
+    )
+    Gp = jnp.concatenate([G_occ, eye], axis=0)
+
+    start = rank * chunk
+    Y_loc = jax.lax.dynamic_slice(
+        Yp, (jnp.int32(0), jnp.int32(0), start), (n_sym, S, chunk)
+    )
+    G_loc = jax.lax.dynamic_slice(
+        Gp, (start, jnp.int32(0), jnp.int32(0)), (chunk, S, S)
+    )
+    W_loc, gain_loc = weights_from(cfg, G_loc, noise_var)
+    eq_loc = equalize_dispatch(Y_loc, G_loc, W_loc, gain_loc, cfg)
+
+    out = jnp.zeros((n_sym, S, m_pad), dtype=jnp.complex64)
+    out = jax.lax.dynamic_update_slice(
+        out, eq_loc.astype(jnp.complex64),
+        (jnp.int32(0), jnp.int32(0), start),
+    )
+    return jax.lax.psum(out, "sc")[:, :, :m_occ]
+
+
+# ------------------------------------------------- stage B': mf + LS (sc)
+def _mf_stage(region: jax.Array, cfg: ModemConfig, n_sc: int, joint: bool):
+    """Matched-filter offset search with the template axis sharded over
+    'sc': the (offset x 41-sequence x rx) fan-out of framing.cc:702-744 is
+    embarrassingly parallel over sequences, so each 'sc' device correlates
+    its own chunk of S0/S1 templates against the replicated region and the
+    chunks are scatter/psum-assembled before the argmax.  Each vals row
+    depends only on its own template, so the assembled tensor is bitwise
+    identical to matched_filter.search's."""
+    S = cfg.num_streams
+    sym = cfg.symbol_len
+    n_seq = 1 + cfg.num_access_codes * S
+    chunk, n_pad = _chunk(n_seq, n_sc)
+
+    tmpl_np = matched_filter.templates(cfg)
+    tmpl_pad = np.zeros((n_pad, cfg.M), np.complex64)
+    tmpl_pad[:n_seq] = tmpl_np
+    base_pad = np.zeros((n_pad,), np.int32)
+    base_pad[:n_seq] = np.arange(n_seq, dtype=np.int32) * sym
+
+    rank = jax.lax.axis_index("sc")
+    start = rank * chunk
+    t_chunk = jax.lax.dynamic_slice(
+        jnp.asarray(tmpl_pad), (start, jnp.int32(0)), (chunk, cfg.M)
+    )
+    b_chunk = jax.lax.dynamic_slice(jnp.asarray(base_pad), (start,), (chunk,))
+    vals_chunk = matched_filter.corr_vals(region, cfg, t_chunk, b_chunk)
+
+    full = jnp.zeros((S, n_pad, sym), jnp.float32)
+    full = jax.lax.dynamic_update_slice(
+        full, vals_chunk, (jnp.int32(0), start, jnp.int32(0))
+    )
+    vals = jax.lax.psum(full, "sc")[:, :n_seq]
+    mf = matched_filter.finalize(vals, cfg, joint=joint)
+    return mf.s0_index, mf.ac_index
+
+
+def _estimate_stage(
+    region: jax.Array,
+    ac_index: jax.Array,
+    cfg: ModemConfig,
+    n_sc: int,
+    need_nv: bool,
+):
+    """LS channel estimation with the access-code FFT batch sharded over
+    'sc': the codes x rx x tx window FFTs (framing.cc:801-824; 80 FFTs at
+    the reference operating point) split by code across the 'sc' devices,
+    are scatter/psum-gathered, and the cheap ratio/accumulate runs
+    replicated — bitwise identical to estimate.ls.estimate_channel.
+    Returns (G [M, rx, tx], noise_var []) replicated."""
+    S = cfg.num_streams
+    M = cfg.M
+    codes = cfg.num_access_codes
+    chunk, codes_pad = _chunk(codes, n_sc)
+
+    offsets = ls.ac_offsets(ac_index, cfg)  # [codes, rx, tx]
+    off_pad = jnp.pad(offsets, ((0, codes_pad - codes), (0, 0), (0, 0)))
+    rank = jax.lax.axis_index("sc")
+    start = rank * chunk
+    off_chunk = jax.lax.dynamic_slice(
+        off_pad, (start, jnp.int32(0), jnp.int32(0)), (chunk, S, S)
+    )
+    X_chunk = ls.code_ffts(region, off_chunk, cfg)  # [chunk, S, S, M]
+
+    Xfull = jnp.zeros((codes_pad, S, S, M), X_chunk.dtype)
+    Xfull = jax.lax.dynamic_update_slice(
+        Xfull, X_chunk,
+        (start, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    )
+    X = jax.lax.psum(Xfull, "sc")[:codes]
+    G = ls.channel_from_ffts(X, cfg)
+    if need_nv:
+        nv = ls.noise_var_from_ffts(X, G, cfg)
+    else:
+        nv = jnp.float32(cfg.mmse_noise_var)
+    return G, nv
 
 
 def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
@@ -275,12 +412,13 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         raise ValueError("T must be padded to a multiple of the time axis")
     if T // n_time < sym:
         raise ValueError("each time shard must cover at least symbol_len")
+    n_sc = mesh.shape.get("sc", 1)
     n_seq = 1 + cfg.num_access_codes * S
     region_len = sym * n_seq + M
     p = cfg.subcarrier_allocation()
     occ_idx = jnp.asarray(sctype.occupied_indices(p))
     joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
-    nloc = -(-(T // n_time) // sym) + 1
+    need_nv = cfg.detector == Detector.MMSE and cfg.mmse_auto_noise
 
     spec_t = P(None, "time")
     sync_sharded = jax.shard_map(
@@ -309,10 +447,31 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
     )
     payload_sharded = jax.shard_map(
         functools.partial(
-            _payload_stage, cfg=cfg, n_time=n_time, occ_idx=occ_idx
+            _payload_stage, cfg=cfg, n_time=n_time, n_sc=n_sc,
+            occ_idx=occ_idx,
         ),
         mesh=mesh,
-        in_specs=(spec_t, P(), P(), P(), P()),
+        in_specs=(spec_t, P()),
+        out_specs=P(None, None, None),
+    )
+    mf_sharded = jax.shard_map(
+        functools.partial(_mf_stage, cfg=cfg, n_sc=n_sc, joint=joint),
+        mesh=mesh,
+        in_specs=P(None, None),
+        out_specs=(P(None), P(None, None)),
+    )
+    estimate_sharded = jax.shard_map(
+        functools.partial(
+            _estimate_stage, cfg=cfg, n_sc=n_sc, need_nv=need_nv
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None), P(None, None)),
+        out_specs=(P(None, None, None), P()),
+    )
+    equalize_sharded = jax.shard_map(
+        functools.partial(_equalize_stage, cfg=cfg, n_sc=n_sc),
+        mesh=mesh,
+        in_specs=(P(None, None, None), P(None, None, None), P()),
         out_specs=P(None, None, None),
     )
 
@@ -343,9 +502,8 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
         # ---- stage B ----
         rstart = sync_index - sym  # window starts one symbol before sync
         region = region_sharded(iq, rstart)
-        from rub_mimo_tpu.detect import weights as weights_mod
 
-        mf = matched_filter.search(region, cfg, joint=joint)
+        s0_idx, ac_idx = mf_sharded(region)
         cfo_total = cfo0
         if cfg.correct_cfo:
             # fallback-sync coarse (S0 halves) + access-code residual;
@@ -362,54 +520,54 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
                 )[None, :]).astype(jnp.complex64)
 
             eps_s0 = jnp.where(
-                use_fb, cfo_mod.s0_halves_cfo(region, mf.s0_index, cfg),
+                use_fb, cfo_mod.s0_halves_cfo(region, s0_idx, cfg),
                 jnp.float32(0.0),
             )
             eps1 = cfo_mod.residual_cfo(
                 derot_region(region, eps_s0) if cfg.sync_fallback
                 else region,
-                mf.ac_index, cfg,
+                ac_idx, cfg,
             )
             region = derot_region(region, eps_s0 + eps1)
             iq = derotate_sharded(
                 iq, eps_s0 + eps1, rstart.astype(jnp.float32)
             )
-            mf = matched_filter.search(region, cfg, joint=joint)
+            s0_idx, ac_idx = mf_sharded(region)
             cfo_total = cfo0 + eps_s0 + eps1
-        G = ls.estimate_channel(region, mf.ac_index, cfg)
+        G, noise_var = estimate_sharded(region, ac_idx)
         if cfg.smooth_channel:
             from rub_mimo_tpu.estimate import smooth
 
             G = smooth.smooth_channel_estimate(G, cfg)
         G_occ = G[occ_idx]
-        W, gain = weights_mod.weights_for(cfg, G, G_occ, region, mf.ac_index)
 
-        # ---- stage C ----
-        decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
+        # ---- stage C: payload CP-strip + FFT, striped over time x sc ----
+        decode_start = (ac_idx[S - 1, -1] + M).astype(jnp.int32)
         pstart = jnp.maximum(rstart + decode_start, 0)
-        out = payload_sharded(iq, pstart, W, gain, G_occ)  # [pid, S, m_occ]
+        Ygrid = payload_sharded(iq, pstart)  # [pid, S, m_occ] raw, replicated
+        from rub_mimo_tpu.detect.postprocess import postprocess_eq
+
         if cfg.mode == CommMode.ALAMOUTI:
             from rub_mimo_tpu.detect import alamouti as alamouti_mod
 
-            from rub_mimo_tpu.detect.postprocess import postprocess_eq
-
-            dec1 = alamouti_mod.combine_pairs(out, G_occ)  # [pid, m_occ]
-            eqg = jnp.zeros_like(out).at[:, 0, :].set(dec1)
-            out = postprocess_eq(eqg, cfg)
+            dec1 = alamouti_mod.combine_pairs(Ygrid, G_occ)  # [pid, m_occ]
+            eqg = jnp.zeros_like(Ygrid).at[:, 0, :].set(dec1)
         elif cfg.track_channel:
             # identical lax.scan to the offline tracker over the identical
             # assembled Y grid -> bit-equal decisions (pipeline.rx:188-194);
             # the scan is batched [m_occ, S, S] solves, negligible next to
             # the sharded FFTs, so running it replicated costs nothing.
             from rub_mimo_tpu.detect import tracking
-            from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
             eqg, _ = tracking.track_and_equalize(
-                out, G_occ, cfg,
+                Ygrid, G_occ, cfg,
                 block_frames=cfg.track_block_frames,
                 alpha=cfg.track_alpha,
             )
-            out = postprocess_eq(eqg, cfg)
+        else:
+            # ---- stage D: per-subcarrier equalize, sharded over 'sc' ----
+            eqg = equalize_sharded(Ygrid, G_occ, noise_var)
+        out = postprocess_eq(eqg, cfg)
         rx_sig = jnp.moveaxis(out, 0, 1).reshape(S, cfg.pid_max * m_occ)
         rx_data = constellation.demodulate(rx_sig, cfg.modulation)
         return ShardedDecodeResult(

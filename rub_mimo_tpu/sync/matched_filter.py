@@ -44,7 +44,7 @@ class MatchedFilterResult(NamedTuple):
     traces: jax.Array | None
 
 
-def _templates(cfg: ModemConfig) -> np.ndarray:
+def templates(cfg: ModemConfig) -> np.ndarray:
     """[1 + codes*streams, M] unnormalized time-domain templates.
 
     Row 0 is S0; row 1 + code*streams + tx is access code (code, tx) —
@@ -59,34 +59,41 @@ def _templates(cfg: ModemConfig) -> np.ndarray:
     return np.stack(rows).astype(np.complex64)
 
 
+_templates = templates  # backward-compat alias
+
+
 def _fft_len(n: int) -> int:
     """Next power of two >= n."""
     return 1 << (n - 1).bit_length()
 
 
-def search(
+def corr_vals(
     window: jax.Array,
     cfg: ModemConfig,
+    tmpl: jax.Array,
+    seq_base: jax.Array,
     *,
     method: str = "xcorr",
-    joint: bool = False,
-    keep_traces: bool = False,
-) -> MatchedFilterResult:
-    """Run the (offset, sequence, rx) correlation search.
+) -> jax.Array:
+    """Correlation magnitudes for a (possibly partial) template set.
 
-    window: [streams, >= symbol_len*(1 + codes*streams) + M] complex — the
-    replay window starting one symbol before sync_index (framing.cc:284,
-    639-651; see pipeline.rx for the slicing).
+    window:   [streams, W] complex — replay window
+    tmpl:     [n_tmpl, M] time-domain templates (any subset of
+              ``templates(cfg)`` rows — the subcarrier-sharded decoder
+              hands each 'sc' device its own chunk)
+    seq_base: [n_tmpl] int32 — each row's base offset (= global sequence
+              index * symbol_len, framing.cc:707/725)
 
-    Sequence q's candidate offsets are i + symbol_len*q for i in
-    [0, symbol_len) (framing.cc:707, 725: S0 at q=0, access code ac_id at
-    q=ac_id+1).
+    Returns vals [streams, n_tmpl, symbol_len]: |corr|^2 / M^2 at offsets
+    seq_base[q] + i for i in [0, symbol_len).  Each output row depends only
+    on its own template row, so chunked evaluation is bitwise identical to
+    the full batch.
     """
     S = cfg.num_streams
     sym = cfg.symbol_len
     M = cfg.M
-    n_seq = 1 + cfg.num_access_codes * S
-    tmpl = jnp.asarray(_templates(cfg))  # [n_seq, M]
+    n_seq = 1 + cfg.num_access_codes * S  # FULL count — fixes region/L so
+    n_tmpl = tmpl.shape[0]                # chunked runs match the full run
 
     if method == "xcorr":
         region = sym * n_seq + M  # covers max offset + window length
@@ -95,35 +102,50 @@ def search(
         if w.shape[1] < region:
             w = jnp.pad(w, ((0, 0), (0, region - w.shape[1])))
         Wf = jnp.fft.fft(w, n=L, axis=-1)  # [S, L]
-        Tf = jnp.fft.fft(tmpl, n=L, axis=-1)  # [n_seq, L]
+        Tf = jnp.fft.fft(tmpl, n=L, axis=-1)  # [n_tmpl, L]
         corr_full = jnp.fft.ifft(
             Wf[:, None, :] * jnp.conj(Tf)[None, :, :], axis=-1
-        )  # [S, n_seq, L];  corr_full[r, q, j] = sum_n w[r, j+n] conj(t[q, n])
+        )  # [S, n_tmpl, L];  corr_full[r, q, j] = sum_n w[r, j+n] conj(t[q, n])
         mag = (
             jnp.real(corr_full) ** 2 + jnp.imag(corr_full) ** 2
         ).astype(jnp.float32) / np.float32(M * M)
-        # per sequence q, its own offset lane: j = i + sym*q, i in [0, sym)
-        base = np.arange(n_seq, dtype=np.int32) * sym
-        lanes = base[None, :, None] + np.arange(sym, dtype=np.int32)[None, None, :]
+        # per sequence q, its own offset lane: j = i + seq_base[q]
+        lanes = seq_base[None, :, None] + jnp.arange(sym, dtype=jnp.int32)[
+            None, None, :
+        ]
         vals = jnp.take_along_axis(
-            mag, jnp.asarray(np.broadcast_to(lanes, (1, n_seq, sym))), axis=-1
-        )  # [S, n_seq, sym]
+            mag, jnp.broadcast_to(lanes, (1, n_tmpl, sym)), axis=-1
+        )  # [S, n_tmpl, sym]
     elif method == "direct":
         # reference-shaped: gather each M-window and dot against templates
         offs = (
-            np.arange(n_seq, dtype=np.int32)[:, None] * sym
-            + np.arange(sym, dtype=np.int32)[None, :]
-        )  # [n_seq, sym]
-        gather = jnp.asarray(offs)[:, :, None] + jnp.arange(M, dtype=jnp.int32)
-        wins = window[:, gather]  # [S, n_seq, sym, M]
+            seq_base[:, None]
+            + jnp.arange(sym, dtype=jnp.int32)[None, :]
+        )  # [n_tmpl, sym]
+        gather = offs[:, :, None] + jnp.arange(M, dtype=jnp.int32)
+        wins = window[:, gather]  # [S, n_tmpl, sym, M]
         dots = jnp.einsum(
             "rqim,qm->rqi", wins, jnp.conj(tmpl)
-        )  # [S, n_seq, sym]
+        )  # [S, n_tmpl, sym]
         vals = (
             jnp.real(dots) ** 2 + jnp.imag(dots) ** 2
         ).astype(jnp.float32) / np.float32(M * M)
     else:  # pragma: no cover
         raise ValueError(f"unknown matched-filter method {method!r}")
+    return vals
+
+
+def finalize(
+    vals: jax.Array,
+    cfg: ModemConfig,
+    *,
+    joint: bool = False,
+    keep_traces: bool = False,
+) -> MatchedFilterResult:
+    """Argmax + absolute-offset bookkeeping over full [S, n_seq, sym] vals."""
+    S = cfg.num_streams
+    sym = cfg.symbol_len
+    n_seq = 1 + cfg.num_access_codes * S
 
     if joint:
         # pool correlation energy over all rx streams and sequences at a
@@ -147,3 +169,29 @@ def search(
         ac_peak=peaks[:, 1:],
         traces=vals if keep_traces else None,
     )
+
+
+def search(
+    window: jax.Array,
+    cfg: ModemConfig,
+    *,
+    method: str = "xcorr",
+    joint: bool = False,
+    keep_traces: bool = False,
+) -> MatchedFilterResult:
+    """Run the (offset, sequence, rx) correlation search.
+
+    window: [streams, >= symbol_len*(1 + codes*streams) + M] complex — the
+    replay window starting one symbol before sync_index (framing.cc:284,
+    639-651; see pipeline.rx for the slicing).
+
+    Sequence q's candidate offsets are i + symbol_len*q for i in
+    [0, symbol_len) (framing.cc:707, 725: S0 at q=0, access code ac_id at
+    q=ac_id+1).
+    """
+    S = cfg.num_streams
+    n_seq = 1 + cfg.num_access_codes * S
+    tmpl = jnp.asarray(templates(cfg))  # [n_seq, M]
+    seq_base = jnp.arange(n_seq, dtype=jnp.int32) * cfg.symbol_len
+    vals = corr_vals(window, cfg, tmpl, seq_base, method=method)
+    return finalize(vals, cfg, joint=joint, keep_traces=keep_traces)

@@ -16,10 +16,15 @@ def _capture(cfg, seed=11, delay=501, snr=35.0):
     return simulator.simulate_capture(cfg, spec)
 
 
-@pytest.mark.parametrize("n_time,n_sc", [(2, 1), (4, 1), (8, 1), (4, 2)])
+@pytest.mark.parametrize(
+    "n_time,n_sc", [(2, 1), (4, 1), (8, 1), (4, 2), (2, 4), (1, 8)]
+)
 def test_sharded_matches_single_device(n_time, n_sc):
     """The sharded decode must reproduce the single-chip decode exactly
-    (same argmaxes, same demodulated symbols)."""
+    (same argmaxes, same demodulated symbols) on every mesh shape —
+    including subcarrier-heavy (2,4) and pure-'sc' (1,8) splits, where the
+    matched-filter templates, LS code FFTs, payload symbols, and
+    per-subcarrier equalization all shard over the second axis."""
     cfg = tiny_config(bit_exact=False)
     cap, tx_data, _ = _capture(cfg)
     ref = rx.decode(cap, cfg)
@@ -93,6 +98,39 @@ def test_sharded_mmse():
     np.testing.assert_array_equal(
         np.asarray(got.rx_data), np.asarray(ref.rx_data)
     )
+
+
+@pytest.mark.parametrize("detector", [Detector.ML, Detector.SIC])
+def test_sharded_ml_sic_over_sc_axis(detector):
+    """ML lattice search and SIC V-BLAST are per-subcarrier independent,
+    so the 'sc'-sharded equalize stage must reproduce them exactly."""
+    cfg = tiny_config(bit_exact=False, detector=detector,
+                      mmse_noise_var=1e-3, pid_max=8)
+    cap, tx_data, _ = _capture(cfg, seed=7, delay=222)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    m = mesh_mod.make_mesh(2, 4)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    np.testing.assert_array_equal(
+        np.asarray(got.rx_data), np.asarray(ref.rx_data)
+    )
+
+
+def test_sc_axis_divides_payload_work():
+    """The (4,2) mesh must put DIFFERENT payload symbols on the two 'sc'
+    ranks (work division, not replication): with n_sc=2 each device FFTs
+    ceil(nloc/2) symbols instead of nloc."""
+    from rub_mimo_tpu.parallel.decode_sharded import _chunk
+
+    # structural guarantee proxy: the striping arithmetic partitions slots
+    nloc = 11
+    chunk, npad = _chunk(nloc, 2)
+    slots0 = {0 + 2 * i for i in range(chunk)}
+    slots1 = {1 + 2 * i for i in range(chunk)}
+    assert slots0 & slots1 == set()
+    assert set(range(nloc)) <= (slots0 | slots1)
 
 
 def test_multihost_demo_script():
