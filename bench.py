@@ -1,23 +1,106 @@
 """Benchmark: end-to-end 2x2 MIMO-OFDM capture decode throughput.
 
-Measures IQ samples/s for the full RX pipeline (Schmidl&Cox sync + matched
-filter + LS channel estimation + ZF detection + demod) at the reference's
-operating point: M=2048 subcarriers, CP=152, 2 streams, 20 access codes,
-1000 payload frames, 32-ary modem (mimo/config.h:65-66,92,104-108) — a
+Measures the full RX pipeline (Schmidl&Cox sync + matched filter + LS
+channel estimation + ZF detection + demod) at the reference's operating
+point: M=2048 subcarriers, CP=152, 2 streams, 20 access codes, 1000
+payload frames, 32-ary modem (mimo/config.h:65-66,92,104-108) — a
 ~4.6M-IQ-sample capture, decoded as one jit-compiled program.
+
+Methodology (honest numbers, round-2 rework):
+  - the headline value is derived from jax.profiler DEVICE time — the
+    median duration of the decode executable's run on the chip across
+    the timed iterations (parsed from the trace's XLA Modules plane) —
+    not from host wall-clock around a tunneled dispatch.  When the
+    attachment cannot produce a device trace the bench falls back to
+    SUSTAINED wall time (N dispatches queued back-to-back, blocked once
+    at the end — amortizes the tunnel's per-dispatch jitter) and says so
+    in the "method" field.
+  - the sustained measurement also cross-checks the trace (see
+    _credible): trace medians more than 2x away from the sustained rate
+    are rejected.
+  - wall median + best are reported alongside but are NOT the headline:
+    on the axon attachment `block_until_ready` returns before the work
+    executes (verified empirically — a dependent fetch then waits out
+    the full execution), so per-dispatch wall times measure the tunnel's
+    dispatch latency, not the decode; see docs/BENCHMARKS.md.
+  - every run scores the decode against the ground-truth tx symbols and
+    reports SER in the JSON line — a perf number from a wrong decode is
+    worthless.
 
 Baseline: the reference runs this radio at 1.0 Msps per channel
 (mimo/config.h:56), i.e. 2.0e6 IQ samples/s aggregate is the real-time bar
 its (serial, per-sample, offline) decoder must meet to keep up with the
 air interface.  vs_baseline = achieved samples/s / 2.0e6.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line:
+  {"metric", "value", "unit", "vs_baseline", "method", "device_ms",
+   "sustained_ms", "wall_median_ms", "wall_best_ms", "ser_percent"}
 """
 
 import argparse
+import glob
 import json
+import os
+import statistics
 import sys
+import tempfile
 import time
+
+
+def _device_times_ms(trace_dir: str):
+    """Parse a jax.profiler trace: per-run device durations (ms) of the
+    XLA module executions, plus an op-name -> total-ms aggregation.
+
+    Looks for device planes (TPU/GPU '/device:...' planes; the CPU
+    backend exposes comparable thunk lines).  Returns ([], {}) when no
+    device events are found — callers fall back to wall timing.
+    """
+    import jax
+
+    files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not files:
+        return [], {}
+    pd = jax.profiler.ProfileData.from_file(files[0])
+    runs = []
+    ops = {}
+    for plane in pd.planes:
+        name = plane.name or ""
+        is_dev = "/device:" in name or "TPU" in name or "GPU" in name
+        if not is_dev:
+            continue
+        for line in plane.lines:
+            lname = (line.name or "").lower()
+            if "module" in lname or "step" in lname:
+                for e in line.events:
+                    if e.duration_ns > 0:
+                        runs.append(e.duration_ns / 1e6)
+            elif "op" in lname or "xla" in lname:
+                for e in line.events:
+                    if e.duration_ns > 0:
+                        ops[e.name] = ops.get(e.name, 0.0) + e.duration_ns / 1e6
+    if not runs and ops:
+        # no module line: treat summed op time as one aggregate run
+        runs = [sum(ops.values())]
+    return runs, ops
+
+
+def _credible(runs, sustained_ms):
+    """Cross-check trace-derived per-run device times against the
+    sustained (queued-dispatch) measurement.
+
+    On the axon v5e attachment `jax.block_until_ready` returns BEFORE the
+    work executes (verified: block returns in 0.2 ms, a dependent fetch
+    then waits out the full execution), so per-dispatch wall times are
+    meaningless there and cannot validate the trace.  The sustained
+    measurement — N dispatches queued back-to-back, one final fetch-backed
+    sync — is the ground truth both run on: trace medians within 2x of it
+    are accepted; otherwise the trace is rejected and the bench falls back
+    to the sustained number."""
+    if not runs:
+        return False
+    med = statistics.median(runs)
+    return med <= sustained_ms * 2.0 and med >= sustained_ms / 2.0
 
 
 def main():
@@ -28,14 +111,17 @@ def main():
                          "single-capture decode is launch-latency-bound, so "
                          "batching raises sustained serving throughput")
     ap.add_argument("--iters", type=int, default=15,
-                    help="timed repetitions; best-of is reported (the "
-                         "tunneled attachment adds multi-ms dispatch "
-                         "jitter an order above the decode itself)")
+                    help="timed repetitions; median is reported (best-of is "
+                         "recorded separately — the tunneled attachment adds "
+                         "multi-ms dispatch jitter)")
+    ap.add_argument("--profile", type=str, default=None, metavar="OUT.json",
+                    help="also write a per-op device-time breakdown JSON")
+    ap.add_argument("--trace-dir", type=str, default=None,
+                    help="keep the raw profiler trace here (TensorBoard/"
+                         "Perfetto-loadable) instead of a temp dir")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
-
-    import os
 
     import jax
 
@@ -58,6 +144,7 @@ def main():
     from rub_mimo_tpu.config import ModemConfig
     from rub_mimo_tpu.io import simulator
     from rub_mimo_tpu.pipeline import report, rx
+    from rub_mimo_tpu.utils.transfer import to_host
 
     cfg = ModemConfig(pid_max=args.frames, bit_exact=False)
     spec = simulator.ChannelSpec(snr_db=30.0, delay=5000, seed=42)
@@ -85,32 +172,122 @@ def main():
     jax.block_until_ready(result.rx_data)
     compile_s = time.perf_counter() - t0
 
+    # ---- timed iterations under a profiler trace ----
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="rub_mimo_trace_")
     times = []
+    traced = True
+    try:
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:  # tracing must never kill the bench
+        traced = False
+        if args.verbose:
+            print(f"profiler unavailable: {e}", file=sys.stderr)
     for _ in range(args.iters):
         t0 = time.perf_counter()
         result = dec(capture_in)
         jax.block_until_ready(result.rx_data)
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    total_samples = S * T * args.batch
-    sps = total_samples / best
+    if traced:
+        try:
+            jax.profiler.stop_trace()
+        except Exception:
+            traced = False
 
-    # print the metric FIRST: on flaky attachments the verbose scoring
-    # below can stall in a post-decode host transfer
+    # ---- sustained throughput: queue N dispatches, hard-sync once ----
+    # Per-dispatch host timing around a tunneled attachment measures the
+    # tunnel, not the chip.  Queuing the async dispatches back-to-back
+    # amortizes dispatch latency, so total/N converges on the device's
+    # per-run time.  `block_until_ready` is NOT a barrier on the axon
+    # attachment (it returns before execution); the only true barrier is
+    # a dependent value fetched to the host, so we sync through a jitted
+    # scalar reduction + 4-byte transfer.
+    sum_fn = jax.jit(lambda x: jnp.sum(x))
+
+    def hard_sync(arr):
+        np.asarray(to_host(sum_fn(arr)))
+
+    hard_sync(result.rx_data)  # compile the probe + drain the queue
+    sustain_n = max(args.iters, 30)
+    t0 = time.perf_counter()
+    for _ in range(sustain_n):
+        last = dec(capture_in)
+    hard_sync(last.rx_data)
+    sustained_ms = (time.perf_counter() - t0) / sustain_n * 1e3
+
+    device_runs, op_ms = ([], {})
+    if traced:
+        try:
+            device_runs, op_ms = _device_times_ms(trace_dir)
+        except Exception as e:
+            if args.verbose:
+                print(f"trace parse failed: {e}", file=sys.stderr)
+
+    wall_median = statistics.median(times)
+    wall_best = min(times)
+    total_samples = S * T * args.batch
+
+    if _credible(device_runs, sustained_ms):
+        device_ms = statistics.median(device_runs)
+        sps = total_samples / (device_ms / 1e3)
+        method = "profiler_device_time"
+    else:
+        device_ms = (statistics.median(device_runs)
+                     if device_runs else None)
+        sps = total_samples / (sustained_ms / 1e3)
+        method = "sustained_wall"
+
+    # ---- correctness: every bench run scores the decode ----
+    ser_percent = None
+    try:
+        rxd = to_host(result.rx_data)
+        n = cfg.pid_max * cfg.M_occupied
+        if args.batch > 1:
+            rxd = rxd[0]
+        errs = int((np.asarray(rxd)[:, :n] != np.asarray(tx_data)[:, :n]).sum())
+        ser_percent = 100.0 * errs / (cfg.num_streams * n)
+    except Exception as e:  # host-transfer quirks must not kill the bench
+        if args.verbose:
+            print(f"scoring failed: {e}", file=sys.stderr)
+
     baseline_sps = 2.0e6  # 2 channels x 1.0 Msps (mimo/config.h:56)
-    print(json.dumps({
+    line = {
         "metric": "mimo2x2_decode_throughput",
         "value": round(sps, 1),
         "unit": "IQ samples/s/chip",
         "vs_baseline": round(sps / baseline_sps, 3),
-    }), flush=True)
+        "method": method,
+        "device_ms": round(device_ms, 4) if device_ms is not None else None,
+        "sustained_ms": round(sustained_ms, 4),
+        "wall_median_ms": round(wall_median * 1e3, 3),
+        "wall_best_ms": round(wall_best * 1e3, 3),
+        "ser_percent": ser_percent,
+    }
+    print(json.dumps(line), flush=True)
+
+    if args.profile:
+        top = sorted(op_ms.items(), key=lambda kv: -kv[1])
+        with open(args.profile, "w") as f:
+            json.dump({
+                "device_runs_ms": device_runs,
+                "wall_times_ms": [t * 1e3 for t in times],
+                "compile_s": compile_s,
+                "trace_dir": trace_dir if args.trace_dir else None,
+                "op_time_ms_total": sum(op_ms.values()),
+                "top_ops_ms": top[:40],
+            }, f, indent=2)
+        if args.verbose:
+            print(f"profile written to {args.profile}", file=sys.stderr)
 
     if args.verbose:
         print(f"compile+first run: {compile_s:.2f}s", file=sys.stderr)
         print(f"times: {[f'{t*1000:.1f}ms' for t in times]}", file=sys.stderr)
+        if device_runs:
+            print(f"device runs: {[f'{d:.3f}ms' for d in device_runs]}",
+                  file=sys.stderr)
         if args.batch == 1:
             try:
-                rep = report.score(result, tx_data, cfg, decode_seconds=best,
+                rep = report.score(result, tx_data, cfg,
+                                   decode_seconds=wall_median,
                                    num_samples=T)
                 rep.print()
             except Exception as e:  # host quirks must not kill the bench

@@ -29,6 +29,7 @@ import numpy as np
 
 from rub_mimo_tpu.config import ModemConfig
 from rub_mimo_tpu.ofdm import preamble
+from rub_mimo_tpu.utils import gather
 
 
 def access_code_peak_phasors(
@@ -44,20 +45,19 @@ def access_code_peak_phasors(
     S = cfg.num_streams
     M = cfg.M
     codes = cfg.num_access_codes
-    tmpl = jnp.asarray(t.s1_unnormalized)  # [tx, codes, M]
 
     offs = ac_index.reshape(S, codes, S)  # [rx, code, tx]
 
-    def corr_one(rx, off, code, tx):
-        w = jax.lax.dynamic_slice(window[rx], (off,), (M,))
-        return jnp.vdot(tmpl[tx, code], w)  # sum conj(tmpl) * w
+    # template row for flat element k = (rx, code, tx): tmpl[tx, code]
+    rx_ids = np.repeat(np.arange(S), codes * S)
+    code_ids = np.tile(np.repeat(np.arange(codes), S), S)
+    tx_ids = np.tile(np.arange(S), S * codes)
+    tmpl = np.asarray(t.s1_unnormalized)[tx_ids, code_ids]  # [S*codes*S, M]
 
-    rx_ids = jnp.repeat(jnp.arange(S), codes * S)
-    code_ids = jnp.tile(jnp.repeat(jnp.arange(codes), S), S)
-    tx_ids = jnp.tile(jnp.arange(S), S * codes)
-    vals = jax.vmap(corr_one)(
-        rx_ids, offs.reshape(-1), code_ids, tx_ids
-    )
+    wins = gather.gather_windows(
+        window, jnp.asarray(rx_ids), offs.reshape(-1), M
+    )  # [S*codes*S, M]
+    vals = jnp.sum(jnp.conj(jnp.asarray(tmpl)) * wins, axis=-1)
     return vals.reshape(S, codes, S)
 
 
@@ -78,11 +78,10 @@ def s0_halves_cfo(
     M2 = M // 2
     S = cfg.num_streams
 
-    def one(rx, off):
-        seg = jax.lax.dynamic_slice(window[rx], (off,), (M,))
-        return jnp.sum(jnp.conj(seg[:M2]) * seg[M2:])
-
-    ps = jax.vmap(one)(jnp.arange(S), s0_index.astype(jnp.int32))
+    segs = gather.gather_windows(
+        window, jnp.arange(S), s0_index.astype(jnp.int32), M
+    )  # [S, M]
+    ps = jnp.sum(jnp.conj(segs[:, :M2]) * segs[:, M2:], axis=-1)
     return (jnp.angle(jnp.sum(ps)) / np.pi).astype(jnp.float32)
 
 

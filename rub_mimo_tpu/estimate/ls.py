@@ -27,6 +27,7 @@ import numpy as np
 
 from rub_mimo_tpu.config import ModemConfig
 from rub_mimo_tpu.ofdm import preamble, sctype
+from rub_mimo_tpu.utils import gather
 
 
 def code_ffts(
@@ -47,14 +48,11 @@ def code_ffts(
     M = cfg.M
     n_codes = offsets.shape[0]
 
-    def slice_one(off, rx):
-        return jax.lax.dynamic_slice(window[rx], (off,), (M,))
-
     flat_off = offsets.reshape(-1)
     rx_ids = jnp.tile(
         jnp.repeat(jnp.arange(S, dtype=jnp.int32), S), n_codes
     )  # [code*S(rx)*S(tx)] — rx varies over the middle axis
-    wins = jax.vmap(slice_one)(flat_off, rx_ids)  # [n_codes*S*S, M]
+    wins = gather.gather_windows(window, rx_ids, flat_off, M)
     return jnp.fft.fft(wins.reshape(n_codes, S, S, M), axis=-1)
 
 
