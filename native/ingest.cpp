@@ -22,6 +22,7 @@
 // (rub_mimo_tpu/io/native.py), with a numpy fallback when unbuilt.
 
 #include <atomic>
+#include <cerrno>
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
@@ -232,7 +233,10 @@ struct RmtSocket {
   RmtRing ring;
   std::thread worker;
 
-  // poll an fd for readability every 100 ms while honouring stop
+  // poll an fd for readability every 100 ms while honouring stop.
+  // EINTR is retried (signals hitting the worker thread are routine);
+  // any other poll() failure reports unreadable so run() can terminate
+  // the stream cleanly instead of leaving the consumer blocked.
   bool wait_readable(int fd) {
     struct pollfd p;
     p.fd = fd;
@@ -241,7 +245,7 @@ struct RmtSocket {
       p.revents = 0;
       const int rc = poll(&p, 1, 100);
       if (rc > 0 && (p.revents & (POLLIN | POLLHUP))) return true;
-      if (rc < 0) return false;
+      if (rc < 0 && errno != EINTR) return false;
     }
     return false;
   }
@@ -258,11 +262,16 @@ struct RmtSocket {
     }
     for (;;) {
       const int slot = ring.acquire_slot();
-      if (slot < 0) return;
+      if (slot < 0) return;  // stop requested: consumer initiated shutdown
       int64_t got = 0;
       bool closed = false;
       while (got < ring.block_bytes) {
-        if (!wait_readable(conn_fd)) return;
+        if (!wait_readable(conn_fd)) {
+          // poll failure or stop: publish the partial block as final so a
+          // blocked consumer wakes with EOF instead of hanging forever.
+          closed = true;
+          break;
+        }
         const ssize_t n =
             recv(conn_fd, ring.bufs[slot].data() + got,
                  static_cast<size_t>(ring.block_bytes - got), 0);

@@ -25,6 +25,21 @@ from pathlib import Path
 import numpy as np
 
 
+def _iq_imbalance_arg(value: str) -> tuple[float, float]:
+    """argparse type for --iq-imbalance: exactly two comma-separated
+    floats (amplitude dB, phase degrees) -> a proper usage error + exit
+    code 2 on malformed input instead of a raw traceback."""
+    parts = value.split(",")
+    try:
+        if len(parts) != 2:
+            raise ValueError
+        return float(parts[0]), float(parts[1])
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected DB,DEG (two comma-separated floats), got {value!r}"
+        ) from None
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="rub-mimo-tpu", description="TPU-native MIMO-OFDM modem"
@@ -108,6 +123,7 @@ def build_parser() -> argparse.ArgumentParser:
                        help="iterative SFO estimation + band-limited "
                             "resampling correction")
     p_run.add_argument("--iq-imbalance", default=None, metavar="DB,DEG",
+                       type=_iq_imbalance_arg,
                        help="RX IQ imbalance impairment: amplitude dB, "
                             "phase degrees (e.g. 1.0,5.0)")
     p_run.add_argument("--dc-offset", type=float, default=0.0,
@@ -274,10 +290,7 @@ def main(argv=None):
         return 2
 
     if args.command == "run":
-        iq_amp, iq_phase = 0.0, 0.0
-        if args.iq_imbalance:
-            iq_amp, iq_phase = (float(v) for v in
-                                args.iq_imbalance.split(","))
+        iq_amp, iq_phase = args.iq_imbalance or (0.0, 0.0)
         spec = simulator.ChannelSpec(
             snr_db=args.snr, delay=args.delay,
             flat=args.taps <= 1, num_taps=args.taps,
@@ -318,9 +331,13 @@ def main(argv=None):
                 from rub_mimo_tpu.estimate import sfo as sfo_mod
                 from rub_mimo_tpu.utils.transfer import to_host
 
-                _, dtot, cap = sfo_mod.decode_with_sfo(
-                    jnp.asarray(cap), cfg
-                )
+                try:
+                    _, dtot, cap = sfo_mod.decode_with_sfo(
+                        jnp.asarray(cap), cfg
+                    )
+                except ValueError as e:
+                    print(f"error: --sfo-correct: {e}", file=sys.stderr)
+                    return 2
                 if not args.quiet:
                     print(f"    estimated SFO           : "
                           f"{float(to_host(dtot)) * 1e6:+.2f} ppm")

@@ -134,8 +134,19 @@ def decode_with_sfo(
     Returns (final DecodeResult, delta_total, corrected iq); each pass
     costs two decodes (~0.1 ms each on chip at the reference operating
     point)."""
-    from rub_mimo_tpu.config import Detector
+    from rub_mimo_tpu.config import CommMode, Detector
     from rub_mimo_tpu.pipeline import rx as rx_mod
+
+    if cfg.mode not in (CommMode.RX_ZF, CommMode.RX_BEAMFORMING):
+        # the tracked helper decode needs decision-directed refits through
+        # the linear equalizer, which config.validate restricts to the
+        # ZF-family modes — fail loudly instead of silently running the
+        # full-MIMO tracking path on a single-stream config
+        raise ValueError(
+            "decode_with_sfo requires a ZF-family mode (RX_ZF or "
+            f"RX_BEAMFORMING); got {cfg.mode.value}. For single-stream "
+            "modes, resample with estimate/correct_sfo directly."
+        )
 
     bf = track_block_frames
     if bf is None:
@@ -146,7 +157,9 @@ def decode_with_sfo(
     cfg_fit = cfg.replace(track_channel=False)
     if cfg.detector in (Detector.ML, Detector.SIC):
         cfg_fit = cfg_fit.replace(detector=Detector.ZF)
-    cfg_track = cfg_fit.replace(track_channel=True, track_block_frames=bf)
+    cfg_track = cfg_fit.replace(
+        track_channel=True, track_block_frames=bf
+    ).validate()
 
     dec_fit = rx_mod.make_decoder(cfg_fit)
     dec_track = rx_mod.make_decoder(cfg_track)

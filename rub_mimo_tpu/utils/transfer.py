@@ -45,34 +45,83 @@ def _to_f32():
     return jax.jit(lambda x: x.astype(jnp.float32))
 
 
+@functools.lru_cache(maxsize=None)
+def _bitcast_i32():
+    """Jitted lossless bitcast to int32 words.  64-bit inputs gain a
+    trailing axis of 2; 32-bit inputs keep their shape."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    return jax.jit(lambda x: lax.bitcast_convert_type(x, jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _direct_transfer_ok(dtype_str: str) -> bool:
+    """Probe (once per process per dtype) whether the current backend can
+    transfer this dtype device->host directly.  The probe uses a throwaway
+    device array, so a failed attempt poisons only the probe, never a user
+    array."""
+    import jax
+
+    try:
+        probe = jax.device_put(np.zeros((1,), dtype=dtype_str))
+        if str(probe.dtype) != dtype_str:  # e.g. x64-disabled downcast
+            return False
+        np.asarray(probe)
+        return True
+    except Exception:
+        return False
+
+
+def _bitcast_fetch(x, host_dtype) -> np.ndarray:
+    """Lossless fetch of a wide type via int32 words + host-side view."""
+    words = np.ascontiguousarray(np.asarray(_bitcast_i32()(x)))
+    out = words.view(host_dtype)
+    if out.ndim and out.shape[-1] == 1 and words.shape != out.shape:
+        out = out[..., 0]
+    return out
+
+
 def to_host(x: Any) -> np.ndarray:
     """Fetch a jax array as numpy, working around limited-transfer backends.
 
     Dtype is inspected BEFORE attempting a direct transfer: on the axon
     attachment a failed complex64/bool transfer attempt poisons the
-    array (every later operation on it raises UNIMPLEMENTED too), so the
-    unsupported dtypes must route through the jitted conversion without
-    ever trying np.asarray first."""
+    array (every later operation on it raises UNIMPLEMENTED too), so
+    possibly-unsupported dtypes must route through a jitted conversion
+    without ever trying np.asarray first.  Whether a dtype needs the
+    workaround is probed once per process on a throwaway array, so on
+    full backends (CPU/GPU) every dtype takes the direct path; on limited
+    backends wide integers/floats ride int32 words LOSSLESSLY (bitcast +
+    host-side view) rather than a narrowing cast."""
     import jax.numpy as jnp
 
     if isinstance(x, np.ndarray) or np.isscalar(x):
         return np.asarray(x)
     dt = getattr(x, "dtype", None)
-    if dt is not None:
-        if dt in (jnp.complex64, jnp.complex128):
-            re, im = _splitter()(x)
-            return (np.asarray(re) + 1j * np.asarray(im)).astype(
-                np.complex64
-            )
-        if dt == jnp.bool_:
-            return np.asarray(_to_i32()(x)).astype(bool)
-        if np.issubdtype(np.dtype(dt), np.integer) and np.dtype(
-                dt) != np.int32:
-            return np.asarray(_to_i32()(x))
-        if np.issubdtype(np.dtype(dt), np.floating) and np.dtype(
-                dt) != np.float32:
-            return np.asarray(_to_f32()(x))
-    return np.asarray(x)
+    if dt is None:
+        return np.asarray(x)
+    ndt = np.dtype(dt)
+    if ndt in (np.dtype(np.float32), np.dtype(np.int32)):
+        return np.asarray(x)  # always transferable, even on axon
+    if _direct_transfer_ok(str(ndt)):
+        return np.asarray(x)
+    if ndt == np.complex64:
+        re, im = _splitter()(x)
+        return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+    if ndt == np.complex128:
+        # split to f64 halves, each fetched losslessly via int32 words
+        re = _bitcast_fetch(jnp.real(x), np.float64)
+        im = _bitcast_fetch(jnp.imag(x), np.float64)
+        return re + 1j * im
+    if ndt == np.dtype(bool):
+        return np.asarray(_to_i32()(x)).astype(bool)
+    if ndt.kind in "iuf" and ndt.itemsize in (4, 8):
+        return _bitcast_fetch(x, ndt)  # uint32/int64/uint64/float64
+    if ndt.kind in "iu":
+        return np.asarray(_to_i32()(x)).astype(ndt)  # sub-32-bit ints
+    return np.asarray(_to_f32()(x)).astype(ndt)  # f16/bf16 via f32
 
 
 @functools.lru_cache(maxsize=None)
