@@ -31,7 +31,8 @@ principle flip a sync decision the offline path made differently.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+import dataclasses
+from typing import Dict, List, Optional, Tuple
 
 import functools
 
@@ -45,6 +46,22 @@ from rub_mimo_tpu.estimate import ls
 from rub_mimo_tpu.ofdm import constellation, sctype
 from rub_mimo_tpu.sync import matched_filter, schmidl_cox
 from rub_mimo_tpu.utils.transfer import to_host
+
+
+@dataclasses.dataclass
+class BurstRecord:
+    """Snapshot of one completed frame burst (multi-burst streaming).
+
+    The reference handles exactly one burst per process run
+    (mimo/main.cc:906-922); re-arming after a burst is new capability —
+    a live pipeline that can re-acquire indefinitely."""
+
+    sync_index: int
+    decode_start: int
+    cfo_hat: float
+    frames: Dict[int, np.ndarray]
+    G: Optional[jax.Array]
+    fb_used: bool
 
 
 class StreamingDecoder:
@@ -93,14 +110,14 @@ class StreamingDecoder:
         self._recent = _czeros((S, self._recent_len))
         self._last_below = -jnp.ones((S,), jnp.int32)
         self.phase = "seek"
-        self.synced = False
-        self.sync_index: Optional[int] = None
+        self._cur_synced = False
+        self._cur_sync_index: Optional[int] = None
         self._region = _czeros((S, self.region_len))
         self.region_start: Optional[int] = None
         self.W = None
         self.gain = None
         self.G = None
-        self.decode_start: Optional[int] = None  # global frame-0 CP start
+        self._cur_decode_start: Optional[int] = None  # global frame-0 CP start
         self._ptail = _czeros((S, sym - 1))
         self.frames: dict[int, np.ndarray] = {}  # k -> [S, m_occ] complex64
         self._pend: dict[int, np.ndarray] = {}  # raw Y awaiting its pair
@@ -110,12 +127,39 @@ class StreamingDecoder:
         self._q_w = 0          # write offset
         self._q_count = 0      # buffered samples
         self._q_gpos = 0       # global position of the sample at _q_r
-        self.cfo_hat = 0.0       # accumulated CFO estimate (subcarriers)
+        self._cur_cfo_hat = 0.0       # accumulated CFO estimate (subcarriers)
         self._eps0 = 0.0         # coarse rotation applied to incoming data
         self._eps_r = 0.0        # post-estimation rotation (ref region_start)
         self._fb_used = False
+        # multi-burst: completed bursts re-arm the phase machine back to
+        # seek; records accumulate here (burst 0 first)
+        self.bursts: List[BurstRecord] = []
+        self._burst_end: Optional[int] = None  # global end of payload span
+        self._in_replay = False  # re-arm replay in progress
 
         self._build_steps()
+
+    # -- public view: FIRST-burst attributes (the reference's
+    # one-burst-per-run semantics); the live _cur_* fields track the
+    # burst currently being acquired ----------------------------------- #
+    @property
+    def synced(self) -> bool:
+        return True if self.bursts else self._cur_synced
+
+    @property
+    def sync_index(self) -> Optional[int]:
+        return (self.bursts[0].sync_index if self.bursts
+                else self._cur_sync_index)
+
+    @property
+    def decode_start(self) -> Optional[int]:
+        return (self.bursts[0].decode_start if self.bursts
+                else self._cur_decode_start)
+
+    @property
+    def cfo_hat(self) -> float:
+        return (self.bursts[0].cfo_hat if self.bursts
+                else self._cur_cfo_hat)
 
     # ------------------------------------------------------------------ #
     def _build_steps(self):
@@ -437,18 +481,21 @@ class StreamingDecoder:
             )
             fired_h = bool(int(to_host(fired)))
             fb_fired = False
-            if not fired_h and cfg.sync_fallback:
+            # the xcorr fallback is suppressed while replaying the re-arm
+            # window: it would rescan the previous burst's payload tail,
+            # which the offline multi-burst path (rx.decode_all) erases
+            if not fired_h and cfg.sync_fallback and not self._in_replay:
                 q, jrel = self._fb_step(prev_tail, chunk)
                 if float(to_host(q)) > cfg.sync_fallback_threshold:
                     fb_fired = True
                     p = gpos - (M - 1) + int(to_host(jrel))
-                    self.sync_index = p + M - cfg.cp_len
+                    self._cur_sync_index = p + M - cfg.cp_len
             self._recent = self._recent_step(self._recent, chunk)
             if fired_h or fb_fired:
-                self.synced = True
+                self._cur_synced = True
                 self._fb_used = fb_fired
                 if fired_h:
-                    self.sync_index = int(
+                    self._cur_sync_index = int(
                         int(to_host(jnp.sum(starts))) // cfg.num_streams
                     )
                     if cfg.correct_cfo:
@@ -456,7 +503,7 @@ class StreamingDecoder:
                         self._eps0 = float(
                             np.angle(np.sum(-ca)) / np.pi
                         )
-                self.region_start = self.sync_index - cfg.symbol_len
+                self.region_start = self._cur_sync_index - cfg.symbol_len
                 self.phase = "collect"
                 # backfill the region from the recent buffer (which already
                 # includes this chunk); derotate raw samples at placement
@@ -521,11 +568,14 @@ class StreamingDecoder:
                         region_final, jnp.float32(self._eps_r),
                         jnp.float32(0.0), jnp.float32(0.0),
                     )
-                self.cfo_hat = self._eps0 + self._eps_r
+                self._cur_cfo_hat = self._eps0 + self._eps_r
             self.G, self.W, self.gain, dstart = self._estimate_step(
                 region_final
             )
-            self.decode_start = self.region_start + int(to_host(dstart))
+            self._cur_decode_start = self.region_start + int(to_host(dstart))
+            self._burst_end = (
+                self._cur_decode_start + cfg.pid_max * cfg.symbol_len
+            )
             self.phase = "payload"
             # everything consumed so far lives in the region buffer (and
             # possibly an overshoot tail of this chunk beyond region_end)
@@ -572,13 +622,89 @@ class StreamingDecoder:
         self._q_count += n
 
     def _drain(self) -> List[Tuple[int, np.ndarray]]:
-        """Consume the payload queue in exact C-sized steps."""
+        """Consume the payload queue in exact C-sized steps.  When a block
+        covers the last payload sample of the burst, the burst is complete:
+        snapshot it and re-arm the phase machine for the next burst."""
         if self.phase != "payload":
             return []
         out: List[Tuple[int, np.ndarray]] = []
-        while self._q_count >= self.C:
-            out += self._payload_block(self._dequeue())
+        while self.phase == "payload" and self._q_count >= self.C:
+            seg = self._dequeue()
+            out += self._payload_block(seg)
+            if seg[1] + self.C >= self._burst_end:
+                out += self._rearm()
         return out
+
+    def _rearm(self) -> List[Tuple[int, np.ndarray]]:
+        """Burst complete: record it, reset to SEEK, and replay the
+        chunk-aligned tail of the device ring (every sample from the last
+        chunk boundary at-or-before the payload end) through the seek
+        machinery, so a preamble already received — even one straddling
+        the burst boundary — is not dropped.  Replayed samples pass
+        through the same _push_inner phase logic at their original global
+        positions; the ring retains them because its capacity exceeds the
+        maximum queue backlog by 2 chunks (asserted)."""
+        cfg = self.cfg
+        end = self._burst_end
+        gpos0 = self.gpos
+        # snapshot the finished burst (burst-0 semantics for result())
+        self.bursts.append(BurstRecord(
+            sync_index=int(self._cur_sync_index),
+            decode_start=int(self._cur_decode_start),
+            cfo_hat=float(self._cur_cfo_hat),
+            frames=self.frames,
+            G=self.G,
+            fb_used=self._fb_used,
+        ))
+        # replay window: whole C-chunks covering [end, gpos0)
+        k = max(0, -(-(gpos0 - end) // self.C))
+        replay_start = gpos0 - k * self.C
+        chunks = []
+        for i in range(k):
+            g = replay_start + i * self.C
+            off = (self._q_r + (g - self._q_gpos)) % self._ring_len
+            assert gpos0 - g <= self._ring_len, "re-arm replay out of ring"
+            data = self._ring_read(self._ring, jnp.int32(off))
+            if cfg.correct_cfo and self._eps0 != 0.0:
+                # queued data carries the old burst's coarse derotation;
+                # undo it so the new burst starts from raw samples
+                data = self._derotate(
+                    data, jnp.float32(-self._eps0), jnp.float32(g),
+                    jnp.float32(0.0),
+                )
+            chunks.append(data)
+        # reset the phase machine (public burst-1 attributes — synced,
+        # sync_index, decode_start, cfo_hat, G/W — stay visible until a
+        # NEW burst overwrites them)
+        def _czeros(shape):
+            return jax.jit(lambda: jnp.zeros(shape, jnp.complex64))()
+
+        S, M, sym = self.S, cfg.M, cfg.symbol_len
+        self._tail = _czeros((S, M - 1))
+        self._recent = _czeros((S, self._recent_len))
+        self._last_below = -jnp.ones((S,), jnp.int32)
+        self._region = _czeros((S, self.region_len))
+        self._ptail = _czeros((S, sym - 1))
+        self.frames = {}
+        self._pend = {}
+        self._q_r = self._q_w = self._q_count = 0
+        self._q_gpos = 0
+        self._eps0 = 0.0
+        self._eps_r = 0.0
+        self._fb_used = False
+        self._burst_end = None
+        self.phase = "seek"
+        # replay through the normal phase logic at original positions
+        emitted: List[Tuple[int, np.ndarray]] = []
+        self.gpos = replay_start
+        self._in_replay = True
+        try:
+            for data in chunks:
+                emitted += self._push_inner(data)
+        finally:
+            self._in_replay = False
+        assert self.gpos == gpos0, "re-arm replay position mismatch"
+        return emitted
 
     def _dequeue(self):
         data = self._ring_read(self._ring, jnp.int32(self._q_r))
@@ -600,12 +726,12 @@ class StreamingDecoder:
         if self.cfg.track_channel:
             (self._ptail, eq, ks, owned, self.G) = self._payload_step_track(
                 self._ptail, data, self.G,
-                jnp.int32(self.decode_start), jnp.int32(data_gpos),
+                jnp.int32(self._cur_decode_start), jnp.int32(data_gpos),
             )
         else:
             self._ptail, eq, ks, owned = self._payload_step(
                 self._ptail, data, self.W, self.gain, self.G,
-                jnp.int32(self.decode_start), jnp.int32(data_gpos),
+                jnp.int32(self._cur_decode_start), jnp.int32(data_gpos),
             )
         return self._emit(eq, ks, owned)
 
@@ -661,13 +787,12 @@ class StreamingDecoder:
         return out
 
     # ------------------------------------------------------------------ #
-    def result(self):
-        """Assemble (rx_sig, rx_data) from the emitted frames so far."""
+    def _assemble(self, frames: Dict[int, np.ndarray]):
         cfg = self.cfg
         rx_sig = np.zeros(
             (self.S, cfg.pid_max * self.m_occ), np.complex64
         )
-        for k, f in self.frames.items():
+        for k, f in frames.items():
             rx_sig[:, k * self.m_occ : (k + 1) * self.m_occ] = np.asarray(f)
         rx_data = np.asarray(
             to_host(
@@ -677,6 +802,29 @@ class StreamingDecoder:
             )
         )
         return rx_sig, rx_data
+
+    def result(self):
+        """Assemble (rx_sig, rx_data) for the FIRST burst (the reference's
+        one-burst-per-run semantics, mimo/main.cc:906-922).  A completed
+        burst re-arms the decoder, so read the snapshot when present;
+        otherwise the burst is still in progress and the live frames
+        apply."""
+        if self.bursts:
+            return self._assemble(self.bursts[0].frames)
+        return self._assemble(self.frames)
+
+    def burst_results(self):
+        """All bursts decoded so far as a list of
+        (sync_index, rx_sig, rx_data), completed bursts first, plus the
+        in-progress burst if it has emitted frames."""
+        out = []
+        for b in self.bursts:
+            rx_sig, rx_data = self._assemble(b.frames)
+            out.append((b.sync_index, rx_sig, rx_data))
+        if self.frames and self._cur_sync_index is not None:
+            rx_sig, rx_data = self._assemble(self.frames)
+            out.append((int(self._cur_sync_index), rx_sig, rx_data))
+        return out
 
 
 def decode_stream(

@@ -209,3 +209,65 @@ def test_streaming_cfo_overshoot_regression():
         _, rx_data = dec.result()
         agree = (rx_data == np.asarray(ref.rx_data)).mean()
         assert agree > 0.999, f"chunk {chunk}: {agree}"
+
+
+@pytest.mark.parametrize("chunk", [256, 1024])
+def test_streaming_multiburst_rearm(chunk):
+    """After a burst's payload completes the decoder re-arms to SEEK and
+    acquires the NEXT burst in the same stream — frame-for-frame equal to
+    the offline multi-burst decode (rx.decode_all)."""
+    from rub_mimo_tpu.ofdm import framegen
+    from rub_mimo_tpu.pipeline import report
+
+    cfg = tiny_config(bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=0, trailing=0, seed=5)
+    h = simulator.draw_channel(spec, 2, 2)
+
+    data1 = framegen.generate_payload_symbols(cfg, seed=1)
+    data2 = framegen.generate_payload_symbols(cfg, seed=2)
+    tx1 = framegen.transmit_frame(cfg, jnp.asarray(data1))
+    tx2 = framegen.transmit_frame(cfg, jnp.asarray(data2))
+    gap = cfg.window_len + 3 * cfg.symbol_len
+    tx = jnp.concatenate(
+        [
+            jnp.zeros((2, 300), jnp.complex64), tx1,
+            jnp.zeros((2, max(64, gap - tx1.shape[-1])), jnp.complex64),
+            tx2,
+            jnp.zeros((2, 500), jnp.complex64),
+        ],
+        axis=-1,
+    )
+    cap = simulator.apply_channel(tx, h, spec, cfg)
+
+    offline = rx.decode_all(cap, cfg, max_bursts=4)
+    assert len(offline) == 2
+
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=chunk)
+    dec.finalize()
+    bursts = dec.burst_results()
+    assert len(bursts) == 2
+    for (sync_idx, _, rx_data), ref in zip(bursts, offline):
+        assert sync_idx == int(ref.sync_index)
+        np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+    # each burst decodes its own payload (not a stale copy of burst 0)
+    rep1 = report.score(offline[0], data1, cfg)
+    rep2 = report.score(offline[1], data2, cfg)
+    assert rep1.synced and rep2.synced
+    assert not np.array_equal(bursts[0][2], bursts[1][2])
+
+
+def test_streaming_single_burst_api_unchanged():
+    """A single-burst stream re-arms after its payload, but the public
+    first-burst attributes and result() keep reporting burst 0."""
+    cfg = tiny_config(bit_exact=False)
+    cap, tx_data, _ = _capture(cfg, seed=3, delay=222)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    dec = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=256)
+    dec.finalize()
+    assert dec.synced
+    assert len(dec.bursts) == 1  # payload span completed -> re-armed
+    assert dec.sync_index == int(ref.sync_index)
+    _, rx_data = dec.result()
+    np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
