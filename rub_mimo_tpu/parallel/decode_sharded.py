@@ -73,14 +73,27 @@ class ShardedDecodeResult(NamedTuple):
 
 
 # --------------------------------------------------------------- stage A
-def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int):
+def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
+                halo_impl: str = "ppermute",
+                mesh_axes: tuple = ("time",), interpret: bool = False):
     """Per-shard sync: [S, Tloc] block -> (t_global [1], starts [1,S],
-    fired [1]) candidates for the global first-fire election."""
+    fired [1]) candidates for the global first-fire election.
+
+    halo_impl selects the neighbor exchange: "ppermute" (XLA collective,
+    default) or "pallas_dma" (explicit make_async_remote_copy kernel,
+    kernels/halo_dma.py — bit-identical, SURVEY §2.5 last row)."""
     S, Tloc = local.shape
     halo = cfg.M - 1
     me = jax.lax.axis_index("time")
 
-    if n_time > 1:
+    if n_time > 1 and halo_impl == "pallas_dma":
+        from rub_mimo_tpu.kernels.halo_dma import ring_shift_right
+
+        left = ring_shift_right(
+            local[:, -halo:], axis_name="time", mesh_axes=mesh_axes,
+            n_dev=n_time, interpret=interpret,
+        )
+    elif n_time > 1:
         left = jax.lax.ppermute(
             local[:, -halo:], "time", [(j, j + 1) for j in range(n_time - 1)]
         )
@@ -400,9 +413,14 @@ def _estimate_stage(
     return G, nv
 
 
-def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
+def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
+                          halo_impl: str = "ppermute"):
     """jit-compiled sharded decoder for [streams, T] captures placed with
-    parallel.mesh.shard_capture (T must be a multiple of the 'time' size)."""
+    parallel.mesh.shard_capture (T must be a multiple of the 'time' size).
+
+    halo_impl: "ppermute" (default) or "pallas_dma" — the stage-A halo
+    exchange as an explicit Pallas remote-DMA kernel (interpret-mode
+    simulated on non-TPU meshes)."""
     S = cfg.num_streams
     M = cfg.M
     sym = cfg.symbol_len
@@ -420,9 +438,16 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int):
     joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
     need_nv = cfg.detector == Detector.MMSE and cfg.mmse_auto_noise
 
+    if halo_impl not in ("ppermute", "pallas_dma"):
+        raise ValueError(f"unknown halo_impl {halo_impl!r}")
+    halo_interpret = mesh.devices.flat[0].platform != "tpu"
+
     spec_t = P(None, "time")
     sync_sharded = jax.shard_map(
-        functools.partial(_sync_stage, cfg=cfg, n_time=n_time),
+        functools.partial(
+            _sync_stage, cfg=cfg, n_time=n_time, halo_impl=halo_impl,
+            mesh_axes=tuple(mesh.axis_names), interpret=halo_interpret,
+        ),
         mesh=mesh,
         in_specs=spec_t,
         out_specs=(P(), P(None), P(), P(None)),
