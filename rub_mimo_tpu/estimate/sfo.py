@@ -81,6 +81,18 @@ def _estimate_sfo_jit(
 
     # differential across frames, averaged over streams and frames
     z = jnp.sum(r[:, 1:, :] * jnp.conj(r[:, :-1, :]), axis=(0, 1))  # [m_occ]
+    return fit_subcarrier_slope(z, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_subcarrier_slope(z: jax.Array, cfg: ModemConfig) -> jax.Array:
+    """Fit delta from the per-subcarrier frame-differential moment
+    z[m_occ] = sum over frame pairs of r[n+1] * conj(r[n]): a weighted LS
+    of angle(z) ~= a + b*k_signed over occupied subcarriers (the
+    intercept absorbs CPE/residual CFO; the Nyquist bin, whose shift
+    phase aliases, is excluded); b = 2*pi*delta*symbol_len/M.  Shared by
+    the offline estimator and the streaming accumulator
+    (pipeline.streaming sfo_correct)."""
     dphi = jnp.angle(z)
     w = jnp.abs(z)
 

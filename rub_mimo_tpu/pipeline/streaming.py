@@ -66,12 +66,27 @@ class BurstRecord:
 
 class StreamingDecoder:
     def __init__(self, cfg: ModemConfig, chunk_size: int = 1 << 16,
-                 frontend_comp: bool = False, warmup_chunks: int = 4):
+                 frontend_comp: bool = False, warmup_chunks: int = 4,
+                 sfo_correct: bool = False):
         """frontend_comp: blind DC-offset + IQ-imbalance compensation
         (estimate.frontend) in the stream — the first `warmup_chunks`
         chunks are buffered, the moments estimated over them, and then
         both the buffered and all later chunks pass through the
-        conjugate-cancellation before the decoder sees them."""
+        conjugate-cancellation before the decoder sees them.
+
+        sfo_correct: LIVE sampling-frequency-offset correction (the
+        streaming analog of estimate.sfo.decode_with_sfo's two-pass
+        offline loop).  Requires cfg.track_channel=True: the tracked
+        per-block channel refits both keep the current burst decodable
+        under the drift AND carry the SFO observable — the per-subcarrier
+        phase ADVANCE between consecutive raw refits has slope
+        2*pi*delta*C/M across subcarriers.  The advance statistic
+        accumulates on device (no per-chunk host sync); at each burst
+        re-arm the estimate is frozen into `sfo_hat` and a
+        StreamingResampler (utils.resample) with carried fractional
+        phase is engaged/retuned, so every later burst is decoded from
+        the resampled stream.  Within-burst residue is absorbed by the
+        tracker, as offline."""
         cfg.validate()
         self.cfg = cfg
         self._fe_comp = bool(frontend_comp)
@@ -79,6 +94,13 @@ class StreamingDecoder:
         self._fe_buf: List[jax.Array] = []
         self._fe_dc = None
         self._fe_w = None
+        self._sfo_on = bool(sfo_correct)
+        if self._sfo_on and not cfg.track_channel:
+            raise ValueError(
+                "sfo_correct requires cfg.track_channel=True (the tracked "
+                "refits are both the live equalizer under drift and the "
+                "SFO observable)"
+            )
         self.C = int(chunk_size)
         S = cfg.num_streams
         self.S = S
@@ -136,6 +158,18 @@ class StreamingDecoder:
         self.bursts: List[BurstRecord] = []
         self._burst_end: Optional[int] = None  # global end of payload span
         self._in_replay = False  # re-arm replay in progress
+
+        # live SFO state (sfo_correct=True): the accumulated
+        # per-subcarrier frame-differential moment z[m_occ] — the SAME
+        # statistic the offline estimator reduces the whole capture to
+        # (estimate.sfo), built incrementally from each payload block's
+        # static-equalized residuals against tracked decisions
+        self.sfo_hat = 0.0  # accumulated fractional-rate estimate (host f64)
+        self._resampler = None  # engaged at the first burst re-arm
+        if self._sfo_on:
+            self._sfo_z = jax.jit(
+                lambda: jnp.zeros((self.m_occ,), jnp.complex64)
+            )()
 
         self._build_steps()
 
@@ -283,11 +317,27 @@ class StreamingDecoder:
         def fb_step(tail, chunk):
             """Per-chunk normalized S0 xcorr over windows starting in
             [gpos - (M-1), gpos + C - M]; returns (best_score, best_rel)
-            with best_rel relative to the ext start."""
+            with best_rel relative to the ext start.
+
+            Windows holding almost no energy are excluded (relative
+            floor vs the chunk's strongest window): a window containing
+            one or two isolated samples degenerates to the template's
+            self-peak ratio, which can exceed the fallback threshold on
+            stream-edge padding — the offline path is immune because its
+            global argmax always prefers the real S0."""
             from rub_mimo_tpu.sync.xcorr_sync import normalized_s0_score
+            from rub_mimo_tpu.utils.movsum import moving_sum
 
             ext = jnp.concatenate([tail, chunk], axis=-1)  # [S, C+M-1]
             score = normalized_s0_score(ext, cfg, C)
+            e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(
+                jnp.float32
+            )
+            e_win = moving_sum(e_in, M)
+            e_fwd = jnp.sum(
+                jnp.roll(e_win, -(M - 1), axis=-1)[:, :C], axis=0
+            )
+            score = jnp.where(e_fwd > 0.05 * jnp.max(e_fwd), score, 0.0)
             j = jnp.argmax(score).astype(jnp.int32)
             return score[j], j
 
@@ -319,18 +369,42 @@ class StreamingDecoder:
 
             return cfo_mod.residual_cfo(region, ac_index, cfg)
 
+        # tracked-refit granularity: groups of gf frames scanned WITHIN
+        # each payload block (the streaming mirror of the offline
+        # lax.scan tracker).  Live SFO estimation needs fine groups so
+        # the tracker out-paces the within-group ramp (same bf<=4 rule
+        # as estimate.sfo.decode_with_sfo); plain tracking follows the
+        # configured block size.
+        nloc_t = C // sym + 1
+        gf = (min(cfg.track_block_frames, 4) if self._sfo_on
+              else cfg.track_block_frames)
+        gf = max(1, min(gf, nloc_t))
+        ng = -(-nloc_t // gf)
+        npad = ng * gf - nloc_t
+        sfo_on = self._sfo_on
+
         @jax.jit
-        def payload_step_track(ptail, chunk, Gfull, pstart, gpos):
-            """payload_step variant for track_channel: equalizes with the
-            CARRIED channel estimate (ZF) and refits it from this block's
-            owned decisions.  Returns (ptail', eq, ks, owned, Gfull')."""
+        def payload_step_track(ptail, chunk, Gfull, W0, gain0, pstart,
+                               gpos, z_in):
+            """payload_step variant for track_channel: scans gf-frame
+            groups, each equalized with the CARRIED channel estimate (ZF)
+            and refitting it from the group's owned decisions.
+
+            With sfo_correct, the block also accumulates the offline
+            estimator's statistic incrementally (estimate.sfo): the raw
+            frequency symbols are STATICALLY equalized with the preamble
+            weights (W0, gain0) so the SFO phase ramp stays intact, the
+            tracked decisions serve as the reference, and the
+            frame-differential moment z[m_occ] += sum_n r[n+1] conj(r[n])
+            is carried across chunks on device.  Returns
+            (ptail', eq, ks, owned, Gfull', z_out)."""
             from rub_mimo_tpu.detect import tracking as tracking_mod
             from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
             ext = jnp.concatenate([ptail, chunk], axis=-1)
             base = gpos - (sym - 1)
             k0 = jnp.maximum(-((pstart - base) // sym), 0).astype(jnp.int32)
-            ks = k0 + jnp.arange(C // sym + 1, dtype=jnp.int32)
+            ks = k0 + jnp.arange(nloc_t, dtype=jnp.int32)
             gs = pstart + ks * sym
             rels = gs - base
             owned = (
@@ -347,22 +421,47 @@ class StreamingDecoder:
             X = jnp.fft.fft(wins[:, :, cp:], axis=-1) * np.float32(
                 1.0 / np.sqrt(m_occ)
             )
-            Y = X[:, :, occ]
-            G_occ = Gfull[occ]
-            W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
-            eq = zf_mod.equalize(Y, W, gain)
-            d = constellation.demodulate(eq, cfg.modulation)
-            s_hat = jnp.asarray(constellation.table(cfg.modulation))[d]
-            m = owned.astype(jnp.complex64)[:, None, None]
-            G_new_occ = tracking_mod.ls_refit(Y * m, s_hat * m)
-            n_owned = jnp.sum(owned)
-            a = jnp.where(n_owned > 0, jnp.float32(cfg.track_alpha), 0.0)
-            G_occ2 = ((1.0 - a) * G_occ + a * G_new_occ).astype(
-                jnp.complex64
-            )
-            Gfull = Gfull.at[occ].set(G_occ2)
+            Y = X[:, :, occ]  # [nloc, S, m_occ]
+            G_occ0 = Gfull[occ]
+            table = jnp.asarray(constellation.table(cfg.modulation))
+
+            Yg = jnp.concatenate(
+                [Y, jnp.zeros((npad, S, m_occ), Y.dtype)], axis=0
+            ).reshape(ng, gf, S, m_occ)
+            og = jnp.concatenate(
+                [owned, jnp.zeros((npad,), bool)], axis=0
+            ).reshape(ng, gf)
+
+            def body(G_occ, xs):
+                Yb, ob = xs
+                W, gain = zf_mod.invert(G_occ, cfg.invert_to_unity)
+                eq = zf_mod.equalize(Yb, W, gain)
+                d = constellation.demodulate(eq, cfg.modulation)
+                s_hat = table[d]
+                m = ob.astype(jnp.complex64)[:, None, None]
+                G_new = tracking_mod.ls_refit(Yb * m, s_hat * m)
+                ok = jnp.sum(ob) > 0
+                a = jnp.where(ok, jnp.float32(cfg.track_alpha), 0.0)
+                G2 = ((1.0 - a) * G_occ + a * G_new).astype(jnp.complex64)
+                return G2, (eq, s_hat)
+
+            G_occ_f, (eqg, shg) = jax.lax.scan(body, G_occ0, (Yg, og))
+            eq = eqg.reshape(ng * gf, S, m_occ)[:nloc_t]
+            z_out = z_in
+            if sfo_on:
+                s_hat_all = shg.reshape(ng * gf, S, m_occ)[:nloc_t]
+                y_st = zf_mod.equalize(Y, W0, gain0)
+                om = owned.astype(jnp.complex64)[:, None, None]
+                r = y_st * jnp.conj(s_hat_all) * om
+                # adjacent-frame pairs within the block (spacing exactly
+                # one symbol); both frames must be owned
+                z_out = z_in + jnp.sum(
+                    r[1:] * jnp.conj(r[:-1]), axis=(0, 1)
+                )
+            Gfull = Gfull.at[occ].set(G_occ_f)
             eq = postprocess_eq(eq, cfg)
-            return ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32), Gfull
+            return (ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32),
+                    Gfull, z_out)
 
         @jax.jit
         def recent_step(recent, chunk):
@@ -444,6 +543,14 @@ class StreamingDecoder:
                 frontend.compensate(jnp.asarray(chunk), self._fe_dc,
                                     self._fe_w)
             ))
+        if self._resampler is not None:
+            # live SFO engaged: raw chunks feed the carried-phase
+            # resampler; the decoder consumes its (pipeline-delayed)
+            # corrected output chunks
+            emitted: List[Tuple[int, np.ndarray]] = []
+            for c in self._resampler.push(jnp.asarray(chunk)):
+                emitted += self._push_inner(c)
+            return emitted
         return self._push_inner(chunk)
 
     def _fe_start(self) -> List[Tuple[int, np.ndarray]]:
@@ -659,20 +766,70 @@ class StreamingDecoder:
         # replay window: whole C-chunks covering [end, gpos0)
         k = max(0, -(-(gpos0 - end) // self.C))
         replay_start = gpos0 - k * self.C
-        chunks = []
-        for i in range(k):
-            g = replay_start + i * self.C
+
+        def _ring_chunk(g):
+            """Read chunk [g, g+C) back from the payload ring, undoing
+            the old burst's coarse derotation if present."""
             off = (self._q_r + (g - self._q_gpos)) % self._ring_len
-            assert gpos0 - g <= self._ring_len, "re-arm replay out of ring"
             data = self._ring_read(self._ring, jnp.int32(off))
             if cfg.correct_cfo and self._eps0 != 0.0:
-                # queued data carries the old burst's coarse derotation;
-                # undo it so the new burst starts from raw samples
                 data = self._derotate(
                     data, jnp.float32(-self._eps0), jnp.float32(g),
                     jnp.float32(0.0),
                 )
-            chunks.append(data)
+            return data
+
+        chunks = []
+        for i in range(k):
+            g = replay_start + i * self.C
+            assert gpos0 - g <= self._ring_len, "re-arm replay out of ring"
+            chunks.append(_ring_chunk(g))
+
+        # live SFO: reduce the accumulated moment z to a delta with the
+        # SAME weighted-LS fit the offline estimator uses, fold it into
+        # sfo_hat, and engage/retune the carried-phase resampler so the
+        # NEXT burst decodes from the corrected stream.
+        if self._sfo_on:
+            from rub_mimo_tpu.estimate import sfo as sfo_est
+
+            delta_inc = float(to_host(
+                sfo_est.fit_subcarrier_slope(self._sfo_z, cfg)
+            ))
+            if np.isfinite(delta_inc) and delta_inc != 0.0:
+                self.sfo_hat += delta_inc
+                factor = 1.0 / (1.0 + self.sfo_hat)
+                if self._resampler is None:
+                    from rub_mimo_tpu.utils.resample import (
+                        StreamingResampler,
+                    )
+
+                    # engage at replay_start (not gpos0): the next
+                    # burst's preamble may already sit inside the replay
+                    # window, and the estimation region must not
+                    # straddle a raw/resampled seam.  Preload the ring
+                    # with raw history so the first output window reads
+                    # real samples instead of zeros, then route the
+                    # replay itself through the resampler.
+                    rs = StreamingResampler(
+                        self.S, self.C, factor=factor,
+                        origin=replay_start,
+                    )
+                    n_pre = -(-(rs.margin + 16) // self.C)
+                    for i in range(n_pre, 0, -1):
+                        g = replay_start - i * self.C
+                        if g < 0 or gpos0 - g > self._ring_len:
+                            continue
+                        rs.preload_history(_ring_chunk(g), g)
+                    self._resampler = rs
+                    resampled = []
+                    for data in chunks:
+                        resampled += rs.push(data)
+                    chunks = resampled  # lags by the window lookahead
+                else:
+                    self._resampler.set_factor(factor)
+            self._sfo_z = jax.jit(
+                lambda: jnp.zeros((self.m_occ,), jnp.complex64)
+            )()
         # reset the phase machine (public burst-1 attributes — synced,
         # sync_index, decode_start, cfo_hat, G/W — stay visible until a
         # NEW burst overwrites them)
@@ -703,7 +860,11 @@ class StreamingDecoder:
                 emitted += self._push_inner(data)
         finally:
             self._in_replay = False
-        assert self.gpos == gpos0, "re-arm replay position mismatch"
+        # when the replay was routed through a freshly-engaged resampler,
+        # its pipeline lookahead holds back the last chunks — they emerge
+        # on subsequent pushes; otherwise the replay lands exactly at the
+        # pre-rearm position
+        assert self.gpos <= gpos0, "re-arm replay position mismatch"
         return emitted
 
     def _dequeue(self):
@@ -724,10 +885,18 @@ class StreamingDecoder:
                 jnp.float32(self.region_start),
             )
         if self.cfg.track_channel:
-            (self._ptail, eq, ks, owned, self.G) = self._payload_step_track(
-                self._ptail, data, self.G,
+            z_in = (self._sfo_z if self._sfo_on
+                    else jax.jit(lambda: jnp.zeros(
+                        (self.m_occ,), jnp.complex64))())
+            (self._ptail, eq, ks, owned, self.G,
+             z_out) = self._payload_step_track(
+                self._ptail, data, self.G, self.W, self.gain,
                 jnp.int32(self._cur_decode_start), jnp.int32(data_gpos),
+                z_in,
             )
+            if self._sfo_on:
+                # device-side accumulation: no host sync until re-arm
+                self._sfo_z = z_out
         else:
             self._ptail, eq, ks, owned = self._payload_step(
                 self._ptail, data, self.W, self.gain, self.G,
@@ -743,6 +912,10 @@ class StreamingDecoder:
             # stream ended inside the warmup window: estimate on what we
             # have and replay
             out += self._fe_start()
+        if self._resampler is not None:
+            # flush the resampler's pipeline delay (zero-padded input)
+            for c in self._resampler.flush():
+                out += self._push_inner(c)
         if self.phase != "payload" or self._q_count == 0:
             return out
         pad = self.C - (self._q_count % self.C)

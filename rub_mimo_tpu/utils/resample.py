@@ -18,8 +18,12 @@ Two grades:
 
 from __future__ import annotations
 
+import functools
+from typing import List
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.jit
@@ -105,3 +109,162 @@ def resample_bandlimited(
     if not jnp.issubdtype(x.dtype, jnp.complexfloating):
         out = jnp.real(out)
     return out.astype(x.dtype)
+
+
+@jax.jit
+def _srs_mask_tail(chunk, n_real):
+    """Zero every output sample at index >= n_real."""
+    j = jnp.arange(chunk.shape[-1], dtype=jnp.int32)
+    return jnp.where(j[None, :] < n_real, chunk, jnp.complex64(0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("R", "C"))
+def _srs_write(ring, chunk, gpos, R, C):
+    """Write chunk at absolute-modulo ring slots (sample g <-> slot g%R)."""
+    idx = (gpos + jnp.arange(C, dtype=jnp.int32)) % R
+    return ring.at[:, idx].set(chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "L", "C", "up"))
+def _srs_window_resample(ring, win_start, rel0, f_minus_1, R, L, C, up=4):
+    """Interpolate C output samples from the input ring.
+
+    Window = ring[win_start : win_start+L] (absolute-modulo addressing),
+    FFT-4x upsampled; output j sits at window-relative input position
+    rel0 + j + j*f_minus_1 (rel0 in [margin, margin+1), so the cubic
+    stencil stays inside the guard band).  Same split-position precision
+    trick as resample_bandlimited."""
+    idx = (win_start + jnp.arange(L, dtype=jnp.int32)) % R
+    window = ring[:, idx]
+    xu = _fft_upsample(window, up)  # [S, up*L]
+    Tu = up * L
+    j = jnp.arange(C, dtype=jnp.float32)
+    off = (rel0 + j * f_minus_1) * up          # small: <= (margin+1+drift)*4
+    shift = jnp.floor(off)
+    frac = off - shift
+    i1 = jnp.arange(C, dtype=jnp.int32) * up + shift.astype(jnp.int32)
+    i0 = jnp.clip(i1 - 1, 0, Tu - 1)
+    i2 = jnp.clip(i1 + 1, 0, Tu - 1)
+    i3 = jnp.clip(i1 + 2, 0, Tu - 1)
+    i1 = jnp.clip(i1, 0, Tu - 1)
+    p0, p1, p2, p3 = xu[:, i0], xu[:, i1], xu[:, i2], xu[:, i3]
+    u = frac
+    c0 = -0.5 * u * (1 - u) * (1 - u)
+    c1 = 1 + u * u * (1.5 * u - 2.5)
+    c2 = u * (0.5 + u * (2.0 - 1.5 * u))
+    c3 = 0.5 * u * u * (u - 1)
+    out = p0 * c0 + p1 * c1 + p2 * c2 + p3 * c3
+    return out.astype(window.dtype)
+
+
+class StreamingResampler:
+    """Chunked band-limited fractional resampler with carried state —
+    the live analog of resample_bandlimited for the streaming pipeline
+    (pipeline.streaming with sfo_correct): input arrives in fixed-size
+    chunks; output sample n is the input evaluated at a continuous
+    cursor q advanced by `factor` per output sample, so set_factor()
+    retunes mid-stream (e.g. per-burst SFO refinement) WITHOUT a
+    position jump — the carried fractional phase is exactly the state
+    the offline two-pass resampler keeps implicitly in its global
+    position formula.
+
+    Each output chunk interpolates an FFT-4x-upsampled window of the
+    input ring with `margin` guard samples absorbing the windowed
+    upsampling's periodic-extension leakage; middle-band tones match the
+    whole-capture resample_bandlimited to ~1e-3 amplitude
+    (tests/test_sfo_streaming.py).
+    """
+
+    def __init__(self, n_streams: int, chunk_size: int,
+                 factor: float = 1.0, margin: int = 256,
+                 origin: int = 0):
+        """origin: global position where this resampler takes over a
+        stream mid-flight (input and output positions coincide there) —
+        used when SFO correction engages after a burst has already been
+        consumed raw."""
+        self.S = int(n_streams)
+        self.C = int(chunk_size)
+        self.margin = int(margin)
+        self.factor = float(factor)
+        self.L = self.C + 2 * self.margin + 16
+        self.R = 3 * self.C + 8 * self.margin + 64
+        self._ring = jax.jit(
+            lambda: jnp.zeros((self.S, self.R), jnp.complex64)
+        )()
+        self._in_end = int(origin)  # input samples received (global)
+        self._q = float(origin)     # input-position cursor (f64 host state)
+        self._out_next = int(origin)  # output samples emitted (global)
+
+    def set_factor(self, factor: float) -> None:
+        """Retune the resampling ratio; takes effect from the next output
+        sample (the cursor is continuous across the change)."""
+        self.factor = float(factor)
+
+    def preload_history(self, chunk, gpos: int) -> None:
+        """Write an already-received [S, C] input chunk at positions
+        [gpos, gpos+C) BEFORE the origin — seam backfill when the
+        resampler takes over a stream mid-flight, so the first output
+        window interpolates real history instead of zeros."""
+        if chunk.shape != (self.S, self.C):
+            raise ValueError(f"chunk must be [{self.S}, {self.C}]")
+        if isinstance(chunk, np.ndarray):
+            chunk = jnp.asarray(chunk)
+        self._ring = _srs_write(
+            self._ring, chunk, jnp.int32(gpos % self.R), self.R, self.C,
+        )
+
+    def flush(self) -> List[jax.Array]:
+        """Zero-pad the input so every output sample whose position falls
+        within the real input is emitted.  Output positions BEYOND the
+        real input are forced to exact zeros: the windowed upsampler's
+        sinc ringing into the pad region is smooth and self-correlated at
+        every lag, which would otherwise read as a Schmidl&Cox plateau
+        (a false sync) downstream."""
+        real_end = self._in_end
+        out: List[jax.Array] = []
+        zero = jax.jit(lambda: jnp.zeros((self.S, self.C), jnp.complex64))()
+        # enough padding to cover the window lookahead of the last
+        # real-input output position
+        for _ in range(2 + (self.L // self.C)):
+            out += self.push(zero, _mask_beyond=real_end)
+        return out
+
+    def push(self, chunk, _mask_beyond: int | None = None):
+        """Feed one [S, C] input chunk; returns the list of completed
+        [S, C] output chunks now producible."""
+        if chunk.shape != (self.S, self.C):
+            raise ValueError(f"chunk must be [{self.S}, {self.C}]")
+        if isinstance(chunk, np.ndarray):
+            chunk = jnp.asarray(chunk)
+        self._ring = _srs_write(
+            self._ring, chunk, jnp.int32(self._in_end % self.R),
+            self.R, self.C,
+        )
+        self._in_end += self.C
+        return self._drain(_mask_beyond)
+
+    def _drain(self, mask_beyond: int | None = None) -> List[jax.Array]:
+        out: List[jax.Array] = []
+        while True:
+            win_start = int(np.floor(self._q)) - self.margin
+            if win_start + self.L > self._in_end:
+                break
+            rel0 = self._q - win_start  # in [margin, margin+1)
+            chunk = _srs_window_resample(
+                self._ring, jnp.int32(win_start % self.R),
+                jnp.float32(rel0), jnp.float32(self.factor - 1.0),
+                self.R, self.L, self.C,
+            )
+            if mask_beyond is not None:
+                # number of output samples whose input position q + j*f
+                # is still inside the real input
+                n_real = int(np.clip(
+                    np.ceil((mask_beyond - self._q) / self.factor), 0,
+                    self.C,
+                ))
+                if n_real < self.C:
+                    chunk = _srs_mask_tail(chunk, jnp.int32(n_real))
+            out.append(chunk)
+            self._q += self.C * self.factor
+            self._out_next += self.C
+        return out
