@@ -80,6 +80,14 @@ def build_parser() -> argparse.ArgumentParser:
                             "tracking (ZF-family modes)")
         p.add_argument("--track-block-frames", type=int, default=16)
         p.add_argument("--track-alpha", type=float, default=0.5)
+        p.add_argument("--s1-qpsk", action="store_true",
+                       help="QPSK access codes (the reference's "
+                            "compiled-out MAKE_S1_QPSK variant, quirks "
+                            "replicated)")
+        p.add_argument("--same-signal-on-all-tx", action="store_true",
+                       help="repeat stream 0's payload on every TX "
+                            "antenna (reference's SAME_SIGNAL_ON_ALL_TX "
+                            "variant)")
         p.add_argument("--smooth-channel", action="store_true",
                        help="delay-domain denoising of the channel "
                             "estimate (all-carriers allocation)")
@@ -96,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                        help="print per-stage timings and samples/s")
         p.add_argument("--trace-dir", type=Path, default=None,
                        help="write a jax.profiler device trace here")
+        p.add_argument("--arb32opt-table", type=Path, default=None,
+                       help="install an exact external 32-point table "
+                            "into the ARB32OPT slot (.npy/.json/.txt; "
+                            "e.g. liquid-dsp's arb32opt list for "
+                            "symbol-exact parity with reference "
+                            "captures)")
 
     p_run = sub.add_parser("run", help="synthetic end-to-end experiment")
     add_common(p_run)
@@ -201,6 +215,8 @@ def _config_from_args(args):
         track_block_frames=args.track_block_frames,
         track_alpha=args.track_alpha,
         smooth_channel=args.smooth_channel,
+        s1_qpsk=args.s1_qpsk,
+        same_signal_on_all_tx=args.same_signal_on_all_tx,
         center_frequency=args.freq,
         sample_rate=args.rate,
         baseband_gain=args.dsp_gain,
@@ -288,6 +304,15 @@ def main(argv=None):
     except ValueError as e:
         print(f"error: invalid configuration: {e}", file=sys.stderr)
         return 2
+
+    if getattr(args, "arb32opt_table", None) is not None:
+        from rub_mimo_tpu.ofdm import constellation
+
+        try:
+            constellation.load_arb32opt_table(args.arb32opt_table)
+        except (OSError, ValueError) as e:
+            print(f"error: --arb32opt-table: {e}", file=sys.stderr)
+            return 2
 
     if args.command == "run":
         iq_amp, iq_phase = args.iq_imbalance or (0.0, 0.0)

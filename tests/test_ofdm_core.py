@@ -1,5 +1,6 @@
 """Unit tests for subcarrier allocation, constellations, preambles, framing."""
 
+import json
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -185,3 +186,82 @@ def test_transmit_frame_length(tcfg):
     assert sig.shape == (tcfg.num_streams, expected)
     # baseband gain applied
     assert np.abs(sig).max() < 1.0
+
+
+class TestArb32Opt:
+    """The ARB32OPT slot (mimo/config.h:107): hex-packed optimal table by
+    default, exact external tables installable for liquid parity."""
+
+    def test_optimal_beats_cross(self):
+        from rub_mimo_tpu.ofdm.constellation import (
+            _cross32, optimal_constellation,
+        )
+
+        def mindist(p):
+            d = np.abs(p[:, None] - p[None, :]) + np.eye(len(p)) * 9
+            return d.min()
+
+        opt = optimal_constellation(32)
+        assert len(opt) == 32
+        assert abs(np.mean(np.abs(opt) ** 2) - 1.0) < 1e-5
+        assert mindist(opt) > 1.05 * mindist(_cross32())
+        # deterministic across calls
+        np.testing.assert_array_equal(opt, optimal_constellation(32))
+
+    def test_roundtrip_default_table(self):
+        from rub_mimo_tpu.ofdm import constellation as c
+
+        syms = np.arange(32, dtype=np.int32)
+        pts = c.modulate(jnp.asarray(syms), Modulation.ARB32OPT)
+        back = c.demodulate(pts, Modulation.ARB32OPT)
+        np.testing.assert_array_equal(np.asarray(back), syms)
+
+    def test_external_table_install_and_restore(self, tmp_path):
+        """A capture modulated with an EXTERNAL table demodulates
+        correctly once the table is installed — the exact-parity path
+        for liquid-recorded captures."""
+        from rub_mimo_tpu.ofdm import constellation as c
+
+        rng = np.random.default_rng(7)
+        ext = rng.standard_normal(32) + 1j * rng.standard_normal(32)
+        ext = (ext / np.sqrt(np.mean(np.abs(ext) ** 2))).astype(
+            np.complex64
+        )
+        f = tmp_path / "ext.npy"
+        np.save(f, ext)
+        try:
+            got = c.load_arb32opt_table(f)
+            np.testing.assert_array_equal(got, ext)
+            syms = np.arange(32, dtype=np.int32)
+            pts = c.modulate(jnp.asarray(syms), Modulation.ARB32OPT)
+            np.testing.assert_allclose(np.asarray(pts), ext, rtol=1e-6)
+            back = c.demodulate(jnp.asarray(ext), Modulation.ARB32OPT)
+            np.testing.assert_array_equal(np.asarray(back), syms)
+        finally:
+            c.set_arb32opt_table(None)
+        # restored: default table again
+        t = c.table(Modulation.ARB32OPT)
+        assert not np.array_equal(t, ext)
+
+    def test_external_table_text_and_json(self, tmp_path):
+        from rub_mimo_tpu.ofdm import constellation as c
+
+        base = np.asarray(c.table(Modulation.ARB32OPT))
+        txt = tmp_path / "t.txt"
+        np.savetxt(txt, np.stack([base.real, base.imag], axis=-1))
+        js = tmp_path / "t.json"
+        js.write_text(json.dumps(
+            [[float(p.real), float(p.imag)] for p in base]
+        ))
+        try:
+            for f in (txt, js):
+                got = c.load_arb32opt_table(f)
+                np.testing.assert_allclose(got, base, atol=1e-6)
+        finally:
+            c.set_arb32opt_table(None)
+
+    def test_bad_table_rejected(self):
+        from rub_mimo_tpu.ofdm import constellation as c
+
+        with pytest.raises(ValueError):
+            c.set_arb32opt_table(np.zeros(16, np.complex64))
