@@ -65,3 +65,38 @@ def test_ser_monotonic_and_tracks_theory():
 
 def test_high_snr_error_free():
     assert _run_siso(30.0) == 0.0
+
+
+# ---------------------------------------------------------------------
+# Golden curves: the pinned quantitative accuracy of the DSP chain
+# (VERDICT round-1 item 8).  tests/ber_points.py defines the grid;
+# scripts/gen_ber_golden.py regenerates the JSON after intentional
+# accuracy changes.
+# ---------------------------------------------------------------------
+
+import json
+from pathlib import Path
+
+from tests.ber_points import GRID, measure_point
+
+_GOLDEN_PATH = Path(__file__).parent / "golden" / "ber_curves.json"
+
+
+def _golden():
+    assert _GOLDEN_PATH.exists(), (
+        "missing golden BER curves — run scripts/gen_ber_golden.py"
+    )
+    return json.loads(_GOLDEN_PATH.read_text())
+
+
+@pytest.mark.parametrize("key", sorted(GRID))
+def test_ber_curve_matches_golden(key):
+    golden = _golden()[key]
+    for snr in GRID[key]["snrs"]:
+        want = golden[str(snr)]
+        got = measure_point(key, snr)
+        tol = max(0.35 * want, 0.004)
+        assert abs(got - want) <= tol, (
+            f"{key} @ {snr} dB: SER {got:.5f} vs golden {want:.5f} "
+            f"(tol {tol:.5f})"
+        )
