@@ -110,6 +110,17 @@ class ModemConfig:
     use_all_carriers: bool = True
     add_null_carriers: bool = True
 
+    # --- reference's compiled-out variants, runtime-selectable here ---
+    # MAKE_S1_QPSK (mimo/config.h:101, framing.cc:1160-1212): S1 access
+    # codes carry QPSK points instead of BPSK, with the variant's quirks
+    # replicated (the `& 0x11` symbol mask that only ever selects table
+    # entries 0/1, and the 1/sqrt(M_occupied) normalization this variant
+    # uses where the BPSK one divides by sqrt(M)).
+    s1_qpsk: bool = False
+    # SAME_SIGNAL_ON_ALL_TX (mimo/main.cc:1223-1233): every TX antenna
+    # repeats stream 0's payload symbols.
+    same_signal_on_all_tx: bool = False
+
     # --- sync (mimo/config.h:87) ---
     plateau_threshold: float = 0.95
 

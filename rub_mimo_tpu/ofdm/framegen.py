@@ -137,6 +137,11 @@ def generate_payload_symbols(cfg: ModemConfig, seed: int = 0) -> np.ndarray:
         data = np.zeros((cfg.num_streams, n), dtype=np.int32)
         active = 0 if cfg.mode.value == "alamouti" else cfg.siso_tx
         data[active] = rng.integers(0, cfg.arity, size=n, dtype=np.int32)
+    elif cfg.same_signal_on_all_tx:
+        # SAME_SIGNAL_ON_ALL_TX variant (mimo/main.cc:1223-1233): every
+        # antenna repeats stream 0's symbols
+        row = rng.integers(0, cfg.arity, size=n, dtype=np.int32)
+        data = np.broadcast_to(row, (cfg.num_streams, n)).copy()
     else:
         data = rng.integers(
             0, cfg.arity, size=(cfg.num_streams, n), dtype=np.int32

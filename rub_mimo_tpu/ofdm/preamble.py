@@ -98,6 +98,33 @@ def init_S1(p: np.ndarray, num_access_codes: int, ms: MSequence):
     return S1, s1, s1_unnorm.astype(np.complex64)
 
 
+def init_S1_qpsk(p: np.ndarray, num_access_codes: int, ms: MSequence):
+    """The reference's compiled-out MAKE_S1_QPSK variant of
+    ofdmframe_init_S1 (framing.cc:1160-1212), quirks replicated exactly:
+
+      - two LFSR bits are consumed per subcarrier (nulls included), but
+        the result is masked with `& 0x11` (framing.cc:1188) — hex 17,
+        surely intended as binary 0b11 — so only bit 0 survives and only
+        QPSK_CONSTELLATION entries 0 and 1 are ever emitted;
+      - the time-domain normalization is 1/sqrt(M_S1) (occupied count,
+        framing.cc:1204), where the BPSK variant divides by sqrt(M).
+    """
+    from rub_mimo_tpu.ofdm.constellation import QPSK_REFERENCE_TABLE
+
+    M = len(p)
+    occupied = p != sctype.SCTYPE_NULL
+    S1 = np.zeros((num_access_codes, M), dtype=np.complex64)
+    m_s1 = int(occupied.sum())
+    for j in range(num_access_codes):
+        for i in range(M):
+            s = ms.generate_symbol(2) & 0x11  # verbatim reference mask
+            if occupied[i]:
+                S1[j, i] = QPSK_REFERENCE_TABLE[s]
+    s1_unnorm = ifft_fftw(S1.astype(np.complex128), axis=-1)
+    s1 = (s1_unnorm / np.sqrt(m_s1)).astype(np.complex64)
+    return S1, s1, s1_unnorm.astype(np.complex64)
+
+
 @functools.lru_cache(maxsize=16)
 def _tables_cached(key) -> PreambleTables:
     cfg: ModemConfig = key
@@ -106,10 +133,11 @@ def _tables_cached(key) -> PreambleTables:
     S0, s0, s0_un, M_S0 = init_S0(p, ms_s0)
 
     polys = lfsr_polys_for_streams(cfg)
+    s1_builder = init_S1_qpsk if cfg.s1_qpsk else init_S1
     S1s, s1s, s1_uns = [], [], []
     for stream in range(cfg.num_streams):
         ms = MSequence(cfg.lfsr_large_length, polys[stream], 1)
-        S1, s1, s1_un = init_S1(p, cfg.num_access_codes, ms)
+        S1, s1, s1_un = s1_builder(p, cfg.num_access_codes, ms)
         S1s.append(S1)
         s1s.append(s1)
         s1_uns.append(s1_un)

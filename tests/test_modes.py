@@ -151,3 +151,48 @@ def test_alamouti_rejects_precoder():
     P = jnp.tile(jnp.eye(2, dtype=jnp.complex64), (cfg.M_occupied, 1, 1))
     with pytest.raises(ValueError):
         framegen.transmit_frame(cfg, jnp.asarray(data), precoder=P)
+
+
+def test_s1_qpsk_variant_e2e():
+    """MAKE_S1_QPSK (framing.cc:1160-1212, compiled out in the reference)
+    as a runtime option: QPSK access codes with the variant's verbatim
+    quirks (the `& 0x11` mask, the 1/sqrt(M_occupied) normalization) —
+    the full chain syncs, estimates, and decodes cleanly with them."""
+    from rub_mimo_tpu.ofdm import preamble
+    from rub_mimo_tpu.ofdm.constellation import QPSK_REFERENCE_TABLE
+
+    cfg = tiny_config(bit_exact=False, s1_qpsk=True)
+    t = preamble.tables(cfg)
+    vals = np.unique(np.round(np.asarray(t.S1)[np.asarray(t.S1) != 0], 5))
+    # the & 0x11 quirk: only table entries 0 and 1 ever appear
+    allowed = np.unique(np.round(QPSK_REFERENCE_TABLE[:2], 5))
+    assert set(vals.tolist()) <= set(allowed.tolist()), vals
+
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=300, seed=6)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    result = rx.decode(cap, cfg)
+    rep = report.score(result, tx_data, cfg)
+    assert rep.synced
+    assert max(rep.symbol_error_rate) == 0.0, rep.symbol_error_rate
+    # and the table really differs from the BPSK variant
+    t_bpsk = preamble.tables(tiny_config(bit_exact=False))
+    assert not np.array_equal(np.asarray(t.S1), np.asarray(t_bpsk.S1))
+
+
+def test_same_signal_on_all_tx_e2e():
+    """SAME_SIGNAL_ON_ALL_TX (main.cc:1223-1233, compiled out): every
+    antenna transmits stream 0's payload; the 2x2 ZF chain still
+    separates the (identical) streams and decodes both error-free."""
+    from rub_mimo_tpu.ofdm import framegen as fg
+
+    cfg = tiny_config(bit_exact=False, same_signal_on_all_tx=True)
+    data = fg.generate_payload_symbols(cfg, seed=3)
+    np.testing.assert_array_equal(data[0], data[1])
+
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=400, seed=8)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    np.testing.assert_array_equal(tx_data[0], tx_data[1])
+    result = rx.decode(cap, cfg)
+    rep = report.score(result, tx_data, cfg)
+    assert rep.synced
+    assert max(rep.symbol_error_rate) == 0.0, rep.symbol_error_rate
