@@ -72,24 +72,39 @@ def main():
             x, (jnp.int32(0), i), (S, chunk))
     )
 
-    def run_once():
+    def run_once(per_phase=None):
         dec = streaming.StreamingDecoder(cfg, chunk_size=chunk)
         for i in range(n_chunks):
+            ph = dec.phase
+            t0 = time.perf_counter()
             dec.push(slicer(padded, jnp.int32(i * chunk)))
+            if per_phase is not None:
+                per_phase.setdefault(ph, []).append(
+                    time.perf_counter() - t0
+                )
         dec.finalize()
         return dec
 
     dec = run_once()   # warm-up: compiles every phase step
     assert dec.synced
 
+    per_phase: dict = {}
     t0 = time.perf_counter()
-    dec = run_once()
+    dec = run_once(per_phase)
     dt = time.perf_counter() - t0
     assert dec.synced
 
     _, rx_data = dec.result()
     n = cfg.pid_max * cfg.M_occupied
     errs = int((rx_data[:, :n] != tx_data[:, :n]).sum())
+    # per-phase medians quantify the host-sync cost: SEEK pushes block on
+    # a to_host(fired) scalar fetch each chunk (the phase decision is
+    # host-side), so on a tunneled attachment their latency is dominated
+    # by the round-trip; PAYLOAD pushes enqueue/dispatch without waiting.
+    phase_ms = {
+        ph: round(1e3 * sorted(ts)[len(ts) // 2], 3)
+        for ph, ts in per_phase.items()
+    }
     print(json.dumps({
         "metric": "streaming_decode_throughput",
         "value": round(S * T / dt, 1),
@@ -97,6 +112,7 @@ def main():
         "chunk": chunk,
         "chunks": n_chunks,
         "ms_per_chunk": round(dt / n_chunks * 1e3, 3),
+        "ms_per_chunk_by_phase": phase_ms,
         "symbol_errors": errs,
     }))
     return 0

@@ -54,7 +54,7 @@ def access_code_peak_phasors(
     tx_ids = np.tile(np.arange(S), S * codes)
     tmpl = np.asarray(t.s1_unnormalized)[tx_ids, code_ids]  # [S*codes*S, M]
 
-    wins = gather.gather_windows(
+    wins = gather.slice_windows(
         window, jnp.asarray(rx_ids), offs.reshape(-1), M
     )  # [S*codes*S, M]
     vals = jnp.sum(jnp.conj(jnp.asarray(tmpl)) * wins, axis=-1)
@@ -78,7 +78,7 @@ def s0_halves_cfo(
     M2 = M // 2
     S = cfg.num_streams
 
-    segs = gather.gather_windows(
+    segs = gather.slice_windows(
         window, jnp.arange(S), s0_index.astype(jnp.int32), M
     )  # [S, M]
     ps = jnp.sum(jnp.conj(segs[:, :M2]) * segs[:, M2:], axis=-1)

@@ -52,7 +52,7 @@ def code_ffts(
     rx_ids = jnp.tile(
         jnp.repeat(jnp.arange(S, dtype=jnp.int32), S), n_codes
     )  # [code*S(rx)*S(tx)] — rx varies over the middle axis
-    wins = gather.gather_windows(window, rx_ids, flat_off, M)
+    wins = gather.slice_windows(window, rx_ids, flat_off, M)
     return jnp.fft.fft(wins.reshape(n_codes, S, S, M), axis=-1)
 
 

@@ -71,12 +71,36 @@ def _extract_window(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
     framing.cc:639-647; window length acbl + tx_sig, framing.cc:387-388).
     Out-of-range regions are zero, like the windowcf's zero-initialized
     backing store.
+
+    NOTE: the decode path no longer materializes this (capture-sized)
+    window — estimation reads the small region prefix (_extract_region)
+    and the payload is flat-gathered from the capture directly.  Kept for
+    checkpoint/debug consumers.
     """
     S = cfg.num_streams
     padded = jnp.pad(iq, ((0, 0), (cfg.symbol_len, cfg.window_len)))
     start = jnp.clip(sync_index, 0, iq.shape[-1])
     return jax.lax.dynamic_slice(
         padded, (jnp.int32(0), start.astype(jnp.int32)), (S, cfg.window_len)
+    )
+
+
+def _extract_region(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
+    """The ESTIMATION prefix of the replay window: one symbol of lead-in
+    plus the S0 + access-code span plus an M-sample search margin — all
+    that the matched filter, CFO estimators, LS estimate, and noise-var
+    derivation read.  [streams, region_len] with region offsets identical
+    to window offsets (the region IS the window's prefix), so ac_index /
+    s0_index interoperate unchanged.  ~(n_seq+1) symbols instead of the
+    full window's n_seq+4+pid_max — the copy and every downstream FFT
+    shrink by ~25x at the reference operating point."""
+    S = cfg.num_streams
+    n_seq = 1 + cfg.num_access_codes * cfg.num_streams
+    region_len = cfg.symbol_len * n_seq + cfg.M
+    padded = jnp.pad(iq, ((0, 0), (cfg.symbol_len, region_len)))
+    start = jnp.clip(sync_index, 0, iq.shape[-1])
+    return jax.lax.dynamic_slice(
+        padded, (jnp.int32(0), start.astype(jnp.int32)), (S, region_len)
     )
 
 
@@ -115,13 +139,14 @@ def decode(
         coarse_cfo = jnp.where(use_fb, jnp.float32(0.0), sync.cfo_hat)
         iq = schmidl_cox.correct_cfo(iq, coarse_cfo, M)
 
-    # ---- replay window ----
-    window = _extract_window(iq, sync_index, cfg)
+    # ---- replay region (estimation prefix of the reference's windowcf;
+    # the matched filter / CFO / LS / noise-var all live here) ----
+    region = _extract_region(iq, sync_index, cfg)
 
     # ---- matched-filter offset search ----
     joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
     mf = matched_filter.search(
-        window, cfg, method=mf_method, joint=joint, keep_traces=keep_debug
+        region, cfg, method=mf_method, joint=joint, keep_traces=keep_debug
     )
 
     cfo_total = coarse_cfo
@@ -131,24 +156,24 @@ def decode(
         # fallback-sync case: coarse CFO from the S0 halves at the
         # matched filter's S0 location (the plateau corr never fired)
         eps_s0 = jnp.where(
-            use_fb, cfo_mod.s0_halves_cfo(window, mf.s0_index, cfg),
+            use_fb, cfo_mod.s0_halves_cfo(region, mf.s0_index, cfg),
             jnp.float32(0.0),
         )
         # residual CFO from the access-code peak phase progression
         eps = cfo_mod.residual_cfo(
-            schmidl_cox.correct_cfo(window, eps_s0, M)
-            if cfg.sync_fallback else window,
+            schmidl_cox.correct_cfo(region, eps_s0, M)
+            if cfg.sync_fallback else region,
             mf.ac_index, cfg,
         )
-        window = schmidl_cox.correct_cfo(window, eps_s0 + eps, M)
+        region = schmidl_cox.correct_cfo(region, eps_s0 + eps, M)
         mf = matched_filter.search(
-            window, cfg, method=mf_method, joint=joint,
+            region, cfg, method=mf_method, joint=joint,
             keep_traces=keep_debug,
         )
         cfo_total = coarse_cfo + eps_s0 + eps
 
     # ---- LS channel estimate ----
-    G = ls.estimate_channel(window, mf.ac_index, cfg)
+    G = ls.estimate_channel(region, mf.ac_index, cfg)
     if cfg.smooth_channel:
         from rub_mimo_tpu.estimate import smooth
 
@@ -158,19 +183,44 @@ def decode(
     # ---- detector weights (shared across all pipelines) ----
     from rub_mimo_tpu.detect import weights as weights_mod
 
-    W, gain = weights_mod.weights_for(cfg, G, G_occ, window, mf.ac_index)
+    W, gain = weights_mod.weights_for(cfg, G, G_occ, region, mf.ac_index)
 
     # ---- payload slice & batched OFDM demodulation ----
     # decode starts at the last access code's peak + M on the last rx stream
-    # (the reference hardcodes rx index 1 == num_streams-1, framing.cc:857)
+    # (the reference hardcodes rx index 1 == num_streams-1, framing.cc:857).
+    # The payload is ONE contiguous slice straight from the capture (large
+    # element-level gathers are a TPU perf trap — measured 30 ms for the
+    # 4M-element variant vs ~1 ms for the contiguous copy); the window-
+    # sized intermediate of the old path is gone.  Right padding keeps the
+    # windowcf's read-zeros-past-the-end semantics, and the extra
+    # region_len of padding guarantees the slice start never clamps.
     decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
     n_sym = cfg.pid_max
+    plen = n_sym * cfg.symbol_len
+    region_len = region.shape[-1]
+    padded = jnp.pad(iq, ((0, 0), (cfg.symbol_len, plen + region_len)))
+    pstart = jnp.clip(sync_index, 0, T) + decode_start
     payload = jax.lax.dynamic_slice(
-        window,
-        (jnp.int32(0), decode_start),
-        (S, n_sym * cfg.symbol_len),
+        padded, (jnp.int32(0), pstart.astype(jnp.int32)), (S, plen)
     ).reshape(S, n_sym, cfg.symbol_len)
     x_t = payload[:, :, cfg.cp_len :]  # CP strip (framing.cc:558)
+    if cfg.correct_cfo:
+        # the residual rotation was applied to the region copy only; the
+        # payload needs the same ramp, whose phase reference is the
+        # window origin (sync_index - symbol_len): window-relative index
+        # of payload element (k, j) is decode_start + k*symbol_len +
+        # cp_len + j
+        wrel = (
+            decode_start.astype(jnp.float32)
+            + (jnp.arange(n_sym, dtype=jnp.float32)[:, None]
+               * np.float32(cfg.symbol_len))
+            + np.float32(cfg.cp_len)
+            + jnp.arange(M, dtype=jnp.float32)[None, :]
+        )
+        rot = jnp.exp(
+            -2j * jnp.pi * (eps_s0 + eps) * wrel / np.float32(M)
+        )
+        x_t = x_t * rot[None, :, :]
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
     Y = X[:, :, occ_idx]  # [S(rx), n_sym, m_occ]
     Y = jnp.moveaxis(Y, 1, 0)  # [n_sym, S, m_occ]

@@ -103,8 +103,41 @@ def synchronize(
     *,
     keep_metric: bool = False,
     block: int = 1 << 15,
+    impl: str = "auto",
 ) -> SyncResult:
-    """Full sync stage: metric + plateau scan + CFO estimate."""
+    """Full sync stage: metric + plateau scan + CFO estimate.
+
+    impl: "auto" uses the fused one-pass Pallas kernel
+    (kernels.sc_sync) on the TPU backend when the caller does not need
+    the metric array — ~8 full-capture HBM round trips collapse to one
+    sweep; "xla" forces the chunked array-op path (always used on CPU
+    and for keep_metric); "pallas" forces the kernel (interpret-mode on
+    non-TPU backends, for tests)."""
+    use_kernel = impl == "pallas" or (
+        impl == "auto"
+        and not keep_metric
+        and jax.default_backend() == "tpu"
+    )
+    if use_kernel:
+        from rub_mimo_tpu.kernels.sc_sync import sc_sync_fused
+
+        synced, t_star, starts, c_at = sc_sync_fused(
+            x, cfg.M, cfg.cp_len, cfg.plateau_threshold, block=block,
+            interpret=jax.default_backend() != "tpu",
+        )
+        sync_index = (jnp.sum(starts) // cfg.num_streams).astype(jnp.int32)
+        cfo_hat = jnp.angle(jnp.sum(-c_at)).astype(jnp.float32) / np.pi
+        return SyncResult(
+            synced=synced,
+            sync_sample=t_star,
+            sync_index=sync_index,
+            plateau_start=starts,
+            plateau_end=jnp.broadcast_to(
+                t_star, (cfg.num_streams,)
+            ).astype(jnp.int32),
+            metric=None,
+            cfo_hat=cfo_hat,
+        )
     metric, corr = sc_metric(x, cfg.M, block=block)
     synced, t_star, starts = plateau_scan(
         metric, cfg.cp_len, cfg.plateau_threshold
