@@ -64,13 +64,25 @@ def _scan_last(x: jax.Array, op, identity) -> jax.Array:
 def _kernel(prev_r, prev_i, cur_r, cur_i,
             synced_ref, tstar_ref, starts_ref, corr_ref,
             lb_scr, flag_scr,
-            *, M: int, B: int, S: int, cp: int, thr: float):
+            *, M: int, B: int, S: int, cp: int, thr: float, T: int):
     M2 = M // 2
     i = pl.program_id(0)
 
     # ---- metric + corr for this block (history halo from prev block) ----
+    # The input planes are UNPADDED: block 0's "previous block" is block 0
+    # again (clamped index map) and the last block may read past the array
+    # edge — both are fixed here by zeroing every element whose global
+    # position falls outside [0, T), which reproduces the zero-history /
+    # zero-tail semantics the old full-array pad provided without the
+    # full-capture pad copies.
+    ext_pos = i * B - M + jax.lax.broadcasted_iota(
+        jnp.int32, (S, B + M), 1
+    )
+    inside = (ext_pos >= 0) & (ext_pos < T)
     xr = jnp.concatenate([prev_r[:, B - M:], cur_r[:, :]], axis=-1)
     xi = jnp.concatenate([prev_i[:, B - M:], cur_i[:, :]], axis=-1)
+    xr = jnp.where(inside, xr, 0.0)
+    xi = jnp.where(inside, xi, 0.0)
     ar, ai = xr[:, :-M2], xi[:, :-M2]
     br, bi = xr[:, M2:], xi[:, M2:]
     prod_r = ar * br + ai * bi
@@ -159,18 +171,23 @@ def sc_sync_fused(
     S, T = x.shape
     B = max(int(block), M)
     nb = -(-T // B)
-    pad = nb * B - T
-    xr = jnp.pad(jnp.real(x).astype(jnp.float32), ((0, 0), (B, pad)))
-    xi = jnp.pad(jnp.imag(x).astype(jnp.float32), ((0, 0), (B, pad)))
+    # no pad copies: the planes go in as-is; edge blocks read junk past
+    # the array (allowed) and block 0's history halo comes from a clamped
+    # index map — the kernel masks both by global position
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
 
-    prev_spec = pl.BlockSpec((S, B), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)
-    cur_spec = pl.BlockSpec((S, B), lambda i: (0, i + 1),
+    prev_spec = pl.BlockSpec(
+        (S, B), lambda i: (0, jnp.maximum(i - 1, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    cur_spec = pl.BlockSpec((S, B), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     synced, tstar, starts, corr = pl.pallas_call(
         functools.partial(
-            _kernel, M=M, B=B, S=S, cp=int(cp_len), thr=float(threshold)
+            _kernel, M=M, B=B, S=S, cp=int(cp_len), thr=float(threshold),
+            T=T,
         ),
         grid=(nb,),
         in_specs=[prev_spec, prev_spec, cur_spec, cur_spec],
@@ -190,7 +207,15 @@ def sc_sync_fused(
             pltpu.SMEM((S,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
         ],
-        interpret=(pltpu.InterpretParams() if interpret else False),
+        interpret=(
+            pltpu.InterpretParams(
+                # edge blocks intentionally read past the array (masked
+                # in-kernel by global position)
+                out_of_bounds_reads="uninitialized",
+                uninitialized_memory="zero",
+            )
+            if interpret else False
+        ),
     )(xr, xi, xr, xi)
     corr_at = corr[:S] + 1j * corr[S:]
     return (

@@ -97,6 +97,250 @@ def plateau_scan(
     return synced, t_star, starts
 
 
+def _coarse_stride(cfg: ModemConfig) -> int:
+    """Largest power of two <= min(cp_len/2, M/2).  D <= cp/2 guarantees
+    any (cp+1)-sample all-streams plateau contains TWO consecutive
+    D-aligned coarse points (the candidate-necessity invariant); powers
+    of two divide M/2, so the coarse metric at aligned points equals the
+    exact metric (block-partial summation)."""
+    D = 1
+    lim = min(cfg.cp_len // 2, cfg.M // 2)
+    while D * 2 <= lim:
+        D *= 2
+    return D
+
+
+def _metric_from_slice(win: jax.Array, M: int):
+    """Exact metric/corr for a capture slice that CONTAINS its own M-1
+    samples of left context: outputs are valid from index M-1 on (or from
+    0 when the slice begins at the true capture start)."""
+    return sc_metric(win, M, block=win.shape[-1])
+
+
+def _synchronize_coarse(
+    x: jax.Array, cfg: ModemConfig, block: int
+) -> SyncResult:
+    """Sync in ~3 passes over the capture instead of ~8.
+
+    The fire condition is LOCAL — fire at t <=> metric > threshold at
+    every position in [t-cp-1, t] on every stream — so the full-rate
+    metric is only ever needed in small windows:
+
+      1. COARSE: the exact metric at D-aligned positions
+         t_i = i*D + D - 1, computed from per-block partial sums (the
+         moving sums' windows are whole numbers of blocks).  One fused
+         read of the capture; no full-rate intermediates.
+      2. CANDIDATES: any fire's plateau covers two consecutive coarse
+         points above threshold on all streams (D <= cp/2), so
+         candidate pairs are NECESSARY for a fire.  The first K=4
+         candidates are refined with exact-metric windows of
+         ~(M + 2cp) samples each; the earliest refined fire is the
+         global first fire (candidate spacing D > cp/4 makes later
+         candidates' windows start after earlier ones' ends).
+      3. RUN STARTS: per-stream exact scan over a (2M+2cp)-sample
+         window left of t*.
+
+    Falls back to the full scan (lax.cond) when the first K candidates
+    all refine to no-fire but more exist, or when a plateau run extends
+    past the run-start window — so the fast path never changes results,
+    it only changes speed.  Float caveat: block-partial summation order
+    differs from the chunked full scan's (same ulp-at-threshold class as
+    every other chunking seam, documented in module docstrings)."""
+    S, T = x.shape
+    M = cfg.M
+    M2 = M // 2
+    cp = cfg.cp_len
+    thr = cfg.plateau_threshold
+    D = _coarse_stride(cfg)
+    K = 4
+    if D < 2 or M2 % D or T < 2 * M + 4 * cp + 4 * D:
+        return _synchronize_full(x, cfg, False, block)
+
+    nD = T // D
+    n_full = nD * D
+    kp, ke = M2 // D, M // D
+
+    # ---- coarse pass: block-partial sums -> exact metric at t_i ----
+    # the D-block sums ride the MXU as a [*, D] x [D, 1] matmul — a plain
+    # reshape().sum(-1) lowers to while-loops carrying full-capture
+    # buffers on TPU (measured ~0.17 ms each)
+    ones_d = jnp.ones((D,), jnp.float32)
+    prod = jnp.conj(x[:, : n_full - M2]) * x[:, M2:n_full]
+    # left-pad (not concatenate-with-zeros): fresh zeros confuse sharding
+    # propagation when decode runs inside a sharded-batch jit
+    prod = jnp.pad(prod, ((0, 0), (M2, 0))).reshape(S, nD, D)
+    bs_p = (
+        jnp.einsum("snd,d->sn", jnp.real(prod), ones_d,
+                   preferred_element_type=jnp.float32)
+        + 1j * jnp.einsum("snd,d->sn", jnp.imag(prod), ones_d,
+                          preferred_element_type=jnp.float32)
+    ).astype(x.dtype)                                  # [S, nD] complex
+    e_in = (jnp.real(x[:, :n_full]) ** 2
+            + jnp.imag(x[:, :n_full]) ** 2).astype(jnp.float32)
+    bs_e = jnp.einsum(
+        "snd,d->sn", e_in.reshape(S, nD, D), ones_d,
+        preferred_element_type=jnp.float32,
+    )                                                  # [S, nD]
+
+    def _mov(bs, k):
+        cs = jnp.cumsum(bs, axis=-1)
+        return cs - jnp.pad(cs[:, :-k], ((0, 0), (k, 0)))
+
+    corr_c = -_mov(bs_p, kp)
+    e_c = 0.5 * _mov(bs_e, ke)
+    metric_c = (
+        (jnp.real(corr_c) ** 2 + jnp.imag(corr_c) ** 2).astype(jnp.float32)
+        / (e_c * e_c)
+    )
+    all_c = jnp.all(metric_c > thr, axis=0)            # [nD]
+    pair = all_c[:-1] & all_c[1:]                      # pair j <-> (j, j+1)
+    n_cand = jnp.sum(pair)
+    big = jnp.int32(T + 10 * M)
+    jidx = jnp.arange(nD - 1, dtype=jnp.int32)
+    neg = jax.lax.top_k(
+        jnp.where(pair, -jidx, -big), K
+    )[0]
+    cand_j = -neg                                      # K smallest, sorted
+
+    # ---- refine each candidate: exact fire search in its window ----
+    # fire positions for pair (j, j+1): p in [t_{j+1}, t_{j+1} + cp];
+    # needs exact metric over [p - cp - 1, p] -> slice with M-1 context
+    Lp = 2 * cp + 2                                    # metric positions
+    Lw = (M - 1) + Lp                                  # slice length
+    run_w = 2 * M + 2 * cp                             # run-start window
+    Lr = (M - 1) + run_w
+
+    def refine_fire(j):
+        t_i = (j + 1) * D + D - 1
+        p0 = t_i - cp - 1                              # first metric pos
+        start = p0 - (M - 1)
+        cl = jnp.clip(start, 0, T - Lw)
+        win = jax.lax.dynamic_slice(
+            x, (jnp.int32(0), cl.astype(jnp.int32)), (S, Lw)
+        )
+        m_w, _ = _metric_from_slice(win, M)
+        # positions cl + q; valid exact from q >= M-1 unless cl == 0
+        q0 = p0 - cl                                   # q of position p0
+        qs = jnp.clip(q0 + jnp.arange(Lp, dtype=jnp.int32), 0, Lw - 1)
+        pos = cl + qs
+        above = jnp.all(
+            jnp.take_along_axis(
+                m_w, jnp.broadcast_to(qs[None, :], (S, Lp)), axis=1
+            ) > thr,
+            axis=0,
+        )
+        # fire at p <=> above for the cp+2 window ending at p
+        runlen = jnp.cumsum(above.astype(jnp.int32))
+        runlen = runlen - jnp.pad(runlen[: -(cp + 2)], (cp + 2, 0))
+        fire = (runlen >= cp + 2) & (pos >= t_i) & (pos < T)
+        p_fire = jnp.min(jnp.where(fire, pos, big))
+        ok = (j < nD - 1) & (t_i + cp < T)             # in-range candidate
+        return jnp.where(ok, p_fire, big)
+
+    fires = jnp.stack([refine_fire(cand_j[k]) for k in range(K)])
+
+    # ---- tail guard: fires whose coarse pair would fall past the grid
+    # (last ~2 blocks of the capture) — exact scan of the capture tail ----
+    Wt = 2 * cp + 4 * D + 2
+    tail_cl = T - ((M - 1) + Wt + cp + 2)
+    twin = jax.lax.dynamic_slice(
+        x, (jnp.int32(0), jnp.int32(tail_cl)), (S, (M - 1) + Wt + cp + 2)
+    )
+    m_t, _ = _metric_from_slice(twin, M)
+    qs_t = (M - 1) + jnp.arange(Wt + cp + 2, dtype=jnp.int32)
+    pos_t = tail_cl + qs_t
+    above_t = jnp.all(m_t[:, qs_t] > thr, axis=0)
+    rl_t = jnp.cumsum(above_t.astype(jnp.int32))
+    rl_t = rl_t - jnp.pad(rl_t[: -(cp + 2)], (cp + 2, 0))
+    fire_t = (rl_t >= cp + 2) & (pos_t >= T - 2 * D - cp) & (pos_t < T)
+    p_tail = jnp.min(jnp.where(fire_t, pos_t, big))
+
+    t_star = jnp.minimum(jnp.min(fires), p_tail)
+    synced = t_star < big
+    t_star = jnp.where(synced, t_star, 0).astype(jnp.int32)
+
+    # ---- per-stream run starts: exact scan left of t* ----
+    r_start = t_star - run_w + 1 - (M - 1)
+    r_cl = jnp.clip(r_start, 0, jnp.maximum(T - Lr, 0))
+    rwin = jax.lax.dynamic_slice(
+        x, (jnp.int32(0), r_cl.astype(jnp.int32)), (S, Lr)
+    )
+    m_r, corr_r = _metric_from_slice(rwin, M)
+    pos_r = r_cl + jnp.arange(Lr, dtype=jnp.int32)
+    in_scan = (pos_r <= t_star) & (pos_r > t_star - run_w)
+    below = (~(m_r > thr)) & in_scan[None, :]
+    last_below = jnp.max(
+        jnp.where(below, pos_r[None, :], jnp.int32(-1)), axis=1
+    )
+    starts = (last_below + 1).astype(jnp.int32)
+    # a stream whose window shows NO below sample has its run extending
+    # past the window — unless the window already reaches position 0, in
+    # which case run_start = 0 is exact (matches the full scan's
+    # last_below = -1).  Only the former needs the exactness fallback.
+    run_saturated = (
+        synced
+        & (t_star - run_w + 1 > 0)
+        & jnp.any(last_below == -1)
+    )
+    # corr at t* from the same window (t* is inside it by construction)
+    onehot = (pos_r == t_star).astype(jnp.float32)
+    c_at = jnp.sum(corr_r * onehot[None, :], axis=1)
+
+    # no-fire defaults must match the full scan's (t*=0 -> corr[0]=0,
+    # last_below[.,0]=0 -> starts=1)
+    starts = jnp.where(synced, starts, jnp.ones((S,), jnp.int32))
+    c_at = jnp.where(synced, c_at, jnp.zeros((S,), c_at.dtype))
+
+    need_full = run_saturated | ((~synced) & (n_cand > K))
+
+    def fast(_):
+        sync_index = (jnp.sum(starts) // S).astype(jnp.int32)
+        cfo_hat = jnp.angle(jnp.sum(-c_at)).astype(jnp.float32) / np.pi
+        return (synced, t_star, sync_index, starts,
+                jnp.broadcast_to(t_star, (S,)).astype(jnp.int32), cfo_hat)
+
+    def full(_):
+        r = _synchronize_full(x, cfg, False, block)
+        return (r.synced, r.sync_sample, r.sync_index, r.plateau_start,
+                r.plateau_end, r.cfo_hat)
+
+    synced_o, t_o, si_o, st_o, pe_o, cfo_o = jax.lax.cond(
+        need_full, full, fast, operand=None
+    )
+    return SyncResult(
+        synced=synced_o,
+        sync_sample=t_o,
+        sync_index=si_o,
+        plateau_start=st_o,
+        plateau_end=pe_o,
+        metric=None,
+        cfo_hat=cfo_o,
+    )
+
+
+def _synchronize_full(
+    x: jax.Array, cfg: ModemConfig, keep_metric: bool, block: int
+) -> SyncResult:
+    metric, corr = sc_metric(x, cfg.M, block=block)
+    synced, t_star, starts = plateau_scan(
+        metric, cfg.cp_len, cfg.plateau_threshold
+    )
+    sync_index = (jnp.sum(starts) // cfg.num_streams).astype(jnp.int32)
+    c_at = corr[:, t_star]
+    cfo_hat = jnp.angle(jnp.sum(-c_at)).astype(jnp.float32) / np.pi
+    return SyncResult(
+        synced=synced,
+        sync_sample=t_star,
+        sync_index=sync_index,
+        plateau_start=starts,
+        plateau_end=jnp.broadcast_to(
+            t_star, (cfg.num_streams,)
+        ).astype(jnp.int32),
+        metric=metric if keep_metric else None,
+        cfo_hat=cfo_hat,
+    )
+
+
 def synchronize(
     x: jax.Array,
     cfg: ModemConfig,
@@ -107,17 +351,22 @@ def synchronize(
 ) -> SyncResult:
     """Full sync stage: metric + plateau scan + CFO estimate.
 
-    impl: "auto" uses the fused one-pass Pallas kernel
-    (kernels.sc_sync) on the TPU backend when the caller does not need
-    the metric array — ~8 full-capture HBM round trips collapse to one
-    sweep; "xla" forces the chunked array-op path (always used on CPU
-    and for keep_metric); "pallas" forces the kernel (interpret-mode on
-    non-TPU backends, for tests)."""
-    use_kernel = impl == "pallas" or (
-        impl == "auto"
-        and not keep_metric
-        and jax.default_backend() == "tpu"
-    )
+    impl: "auto" picks per backend when the caller does not need the
+    metric array — the fused one-pass Pallas kernel (kernels.sc_sync)
+    on TPU (measured fastest: 0.6 ms kernel + the plane-split prologue
+    beats the pure-XLA alternatives' lowering), the coarse+refine path
+    (_synchronize_coarse) elsewhere; "coarse" forces coarse+refine;
+    "xla" forces the chunked full scan; "pallas" forces the kernel
+    (interpret-mode on non-TPU backends)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "pallas":
+        use_kernel = True
+    else:
+        use_kernel = impl == "auto" and not keep_metric and on_tpu
+        if not use_kernel and not keep_metric and impl in (
+            "auto", "coarse"
+        ):
+            return _synchronize_coarse(x, cfg, block)
     if use_kernel:
         from rub_mimo_tpu.kernels.sc_sync import sc_sync_fused
 
@@ -138,30 +387,11 @@ def synchronize(
             metric=None,
             cfo_hat=cfo_hat,
         )
-    metric, corr = sc_metric(x, cfg.M, block=block)
-    synced, t_star, starts = plateau_scan(
-        metric, cfg.cp_len, cfg.plateau_threshold
-    )
-    sync_index = (jnp.sum(starts) // cfg.num_streams).astype(jnp.int32)
-
-    # CFO from the S&C correlation phase at the fire sample: the delayed
-    # product accumulates phase 2*pi*eps/M per sample over an M/2 lag, so
-    # angle(P) = pi * eps  (eps in subcarrier-spacing units).  The extra pi
-    # from the negated taps (framing.cc:342) is removed by negating corr.
-    c_at = corr[:, t_star]
-    cfo_hat = jnp.angle(jnp.sum(-c_at)).astype(jnp.float32) / np.pi
-
-    return SyncResult(
-        synced=synced,
-        sync_sample=t_star,
-        sync_index=sync_index,
-        plateau_start=starts,
-        plateau_end=jnp.broadcast_to(t_star, (cfg.num_streams,)).astype(
-            jnp.int32
-        ),
-        metric=metric if keep_metric else None,
-        cfo_hat=cfo_hat,
-    )
+    # CFO note: the delayed product accumulates phase 2*pi*eps/M per
+    # sample over an M/2 lag, so angle(P) = pi * eps (eps in
+    # subcarrier-spacing units); the extra pi from the negated taps
+    # (framing.cc:342) is removed by negating corr.
+    return _synchronize_full(x, cfg, keep_metric, block)
 
 
 def correct_cfo(x: jax.Array, cfo_subcarriers: jax.Array, M: int) -> jax.Array:
