@@ -34,7 +34,9 @@ def make_sharded_batch_decoder(cfg: ModemConfig, mesh: Mesh,
 
     @functools.partial(jax.jit, in_shardings=(sharding,))
     def _decode_batch(iq_batch):
-        return jax.vmap(lambda iq: rx_mod.decode(iq, cfg))(iq_batch)
+        return jax.vmap(
+            lambda iq: rx_mod.decode(iq, cfg, sync_impl="coarse")
+        )(iq_batch)
 
     return _decode_batch
 

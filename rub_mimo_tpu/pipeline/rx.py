@@ -110,8 +110,14 @@ def decode(
     *,
     keep_debug: bool = False,
     mf_method: str = "xcorr",
+    sync_impl: str = "auto",
 ) -> DecodeResult:
-    """Decode a whole capture. iq: [num_streams, T] complex64."""
+    """Decode a whole capture. iq: [num_streams, T] complex64.
+
+    sync_impl: forwarded to sync.schmidl_cox.synchronize — batched
+    (vmapped) decodes must pass "coarse": the fused Pallas sync kernel
+    has scalar SMEM outputs that cannot be vmapped, and the coarse
+    path's fixed costs amortize across the batch anyway."""
     S = cfg.num_streams
     M = cfg.M
     m_occ = cfg.M_occupied
@@ -120,7 +126,9 @@ def decode(
     T = iq.shape[-1]
 
     # ---- sync ----
-    sync = schmidl_cox.synchronize(iq, cfg, keep_metric=keep_debug)
+    sync = schmidl_cox.synchronize(
+        iq, cfg, keep_metric=keep_debug, impl=sync_impl
+    )
     synced = sync.synced
     sync_index = sync.sync_index
     use_fb = jnp.bool_(False)
@@ -343,7 +351,8 @@ def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):
     @functools.partial(jax.jit, static_argnames=())
     def _decode_batch(iq_batch):
         return jax.vmap(
-            lambda iq: decode(iq, cfg, keep_debug=False, mf_method=mf_method)
+            lambda iq: decode(iq, cfg, keep_debug=False,
+                              mf_method=mf_method, sync_impl="coarse")
         )(iq_batch)
 
     return _decode_batch
