@@ -61,28 +61,38 @@ def _scan_last(x: jax.Array, op, identity) -> jax.Array:
     return x
 
 
-def _kernel(prev_r, prev_i, cur_r, cur_i,
+def _kernel(cur_r, cur_i,
             synced_ref, tstar_ref, starts_ref, corr_ref,
-            lb_scr, flag_scr,
+            lb_scr, flag_scr, hist_r, hist_i,
             *, M: int, B: int, S: int, cp: int, thr: float, T: int):
     M2 = M // 2
     i = pl.program_id(0)
 
-    # ---- metric + corr for this block (history halo from prev block) ----
-    # The input planes are UNPADDED: block 0's "previous block" is block 0
-    # again (clamped index map) and the last block may read past the array
-    # edge — both are fixed here by zeroing every element whose global
-    # position falls outside [0, T), which reproduces the zero-history /
-    # zero-tail semantics the old full-array pad provided without the
-    # full-capture pad copies.
+    # ---- metric + corr for this block ----
+    # The M-sample history halo is CARRIED in VMEM scratch across the
+    # sequential grid steps (each block is read from HBM exactly once;
+    # passing the array twice with shifted index maps made XLA insert
+    # full-capture defensive copies for the duplicated operand).  The
+    # input planes are unpadded: the last block may read past the array
+    # edge, zero-masked here by global position; block 0's history is
+    # zeroed explicitly.
+    @pl.when(i == 0)
+    def _zero_hist():
+        hist_r[:, :] = jnp.zeros((S, M), jnp.float32)
+        hist_i[:, :] = jnp.zeros((S, M), jnp.float32)
+
     ext_pos = i * B - M + jax.lax.broadcasted_iota(
         jnp.int32, (S, B + M), 1
     )
-    inside = (ext_pos >= 0) & (ext_pos < T)
-    xr = jnp.concatenate([prev_r[:, B - M:], cur_r[:, :]], axis=-1)
-    xi = jnp.concatenate([prev_i[:, B - M:], cur_i[:, :]], axis=-1)
+    inside = ext_pos < T  # history/left edge handled by the zero scratch
+    xr = jnp.concatenate([hist_r[:, :], cur_r[:, :]], axis=-1)
+    xi = jnp.concatenate([hist_i[:, :], cur_i[:, :]], axis=-1)
     xr = jnp.where(inside, xr, 0.0)
     xi = jnp.where(inside, xi, 0.0)
+    # carry this block's tail as the next step's history (masked values:
+    # the tail of the LAST block is never consumed)
+    hist_r[:, :] = xr[:, B:]
+    hist_i[:, :] = xi[:, B:]
     ar, ai = xr[:, :-M2], xi[:, :-M2]
     br, bi = xr[:, M2:], xi[:, M2:]
     prod_r = ar * br + ai * bi
@@ -177,10 +187,6 @@ def sc_sync_fused(
     xr = jnp.real(x).astype(jnp.float32)
     xi = jnp.imag(x).astype(jnp.float32)
 
-    prev_spec = pl.BlockSpec(
-        (S, B), lambda i: (0, jnp.maximum(i - 1, 0)),
-        memory_space=pltpu.VMEM,
-    )
     cur_spec = pl.BlockSpec((S, B), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
@@ -190,7 +196,7 @@ def sc_sync_fused(
             T=T,
         ),
         grid=(nb,),
-        in_specs=[prev_spec, prev_spec, cur_spec, cur_spec],
+        in_specs=[cur_spec, cur_spec],
         out_specs=(
             smem((1,), lambda i: (0,)),
             smem((1,), lambda i: (0,)),
@@ -206,6 +212,8 @@ def sc_sync_fused(
         scratch_shapes=[
             pltpu.SMEM((S,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((S, M), jnp.float32),
+            pltpu.VMEM((S, M), jnp.float32),
         ],
         interpret=(
             pltpu.InterpretParams(
@@ -216,7 +224,7 @@ def sc_sync_fused(
             )
             if interpret else False
         ),
-    )(xr, xi, xr, xi)
+    )(xr, xi)
     corr_at = corr[:S] + 1j * corr[S:]
     return (
         synced[0] > 0,
