@@ -96,26 +96,47 @@ def corr_vals(
     n_tmpl = tmpl.shape[0]                # chunked runs match the full run
 
     if method == "xcorr":
-        region = sym * n_seq + M  # covers max offset + window length
-        L = _fft_len(region)
-        w = window[:, :region]
-        if w.shape[1] < region:
-            w = jnp.pad(w, ((0, 0), (0, region - w.shape[1])))
-        Wf = jnp.fft.fft(w, n=L, axis=-1)  # [S, L]
-        Tf = jnp.fft.fft(tmpl, n=L, axis=-1)  # [n_tmpl, L]
-        corr_full = jnp.fft.ifft(
-            Wf[:, None, :] * jnp.conj(Tf)[None, :, :], axis=-1
-        )  # [S, n_tmpl, L];  corr_full[r, q, j] = sum_n w[r, j+n] conj(t[q, n])
-        mag = (
-            jnp.real(corr_full) ** 2 + jnp.imag(corr_full) ** 2
+        # Each template q only ever scores offsets in its OWN symbol_len
+        # lane [seq_base[q], seq_base[q] + sym), so the correlation needs
+        # just a (sym + M)-sample window per template — small per-row FFTs
+        # (L ~ 8k at the reference operating point) instead of one shared
+        # region-length FFT (L ~ 131k): ~5x fewer FFT FLOPs, no
+        # region-sized [S, n_seq, L] complex intermediate (86 MB of HBM
+        # traffic at the operating point), and the per-lane output gather
+        # disappears — row q's first sym outputs ARE its lane.
+        region_len = sym * n_seq + M
+        Lw = sym + M  # window covering all of row q's offsets + template
+        L = _fft_len(Lw)
+        w = window[:, :region_len]
+        if w.shape[1] < region_len:
+            w = jnp.pad(w, ((0, 0), (0, region_len - w.shape[1])))
+        if isinstance(seq_base, np.ndarray):
+            # static bases (the single-chip path): plain slices, fused by
+            # XLA into one contiguous copy
+            wins = jnp.stack(
+                [w[:, int(b): int(b) + Lw] for b in seq_base], axis=1
+            )  # [S, n_tmpl, Lw]
+        else:
+            # traced bases (the 'sc'-sharded template chunks): a short
+            # scan of contiguous dynamic slices — the fast window-grab
+            # form on TPU (see utils.gather.slice_windows)
+            def _grab(carry, b):
+                win = jax.lax.dynamic_slice(
+                    w, (jnp.int32(0), b.astype(jnp.int32)), (S, Lw)
+                )
+                return carry, win
+
+            _, wins = jax.lax.scan(_grab, 0, jnp.asarray(seq_base))
+            wins = jnp.moveaxis(wins, 0, 1)  # [S, n_tmpl, Lw]
+        Wf = jnp.fft.fft(wins, n=L, axis=-1)  # [S, n_tmpl, L]
+        Tf = jnp.fft.fft(tmpl, n=L, axis=-1)  # [n_tmpl, L] (constant-folded
+        # when tmpl is a literal)
+        corr = jnp.fft.ifft(Wf * jnp.conj(Tf)[None, :, :], axis=-1)
+        # corr[r, q, i] = sum_n w[r, seq_base[q] + i + n] conj(t[q, n]):
+        # i + n < sym + M = Lw <= L, so the circular lags never wrap
+        vals = (
+            jnp.real(corr[..., :sym]) ** 2 + jnp.imag(corr[..., :sym]) ** 2
         ).astype(jnp.float32) / np.float32(M * M)
-        # per sequence q, its own offset lane: j = i + seq_base[q]
-        lanes = seq_base[None, :, None] + jnp.arange(sym, dtype=jnp.int32)[
-            None, None, :
-        ]
-        vals = jnp.take_along_axis(
-            mag, jnp.broadcast_to(lanes, (1, n_tmpl, sym)), axis=-1
-        )  # [S, n_tmpl, sym]
     elif method == "direct":
         # reference-shaped: gather each M-window and dot against templates
         offs = (
@@ -192,6 +213,7 @@ def search(
     S = cfg.num_streams
     n_seq = 1 + cfg.num_access_codes * S
     tmpl = jnp.asarray(templates(cfg))  # [n_seq, M]
-    seq_base = jnp.arange(n_seq, dtype=jnp.int32) * cfg.symbol_len
+    # static bases: corr_vals takes the cheap fused-slice window path
+    seq_base = np.arange(n_seq, dtype=np.int32) * cfg.symbol_len
     vals = corr_vals(window, cfg, tmpl, seq_base, method=method)
     return finalize(vals, cfg, joint=joint, keep_traces=keep_traces)
