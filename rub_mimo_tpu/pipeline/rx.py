@@ -111,13 +111,18 @@ def decode(
     keep_debug: bool = False,
     mf_method: str = "xcorr",
     sync_impl: str = "auto",
+    window_impl: str = "auto",
 ) -> DecodeResult:
     """Decode a whole capture. iq: [num_streams, T] complex64.
 
     sync_impl: forwarded to sync.schmidl_cox.synchronize — batched
     (vmapped) decodes must pass "coarse": the fused Pallas sync kernel
     has scalar SMEM outputs that cannot be vmapped, and the coarse
-    path's fixed costs amortize across the batch anyway."""
+    path's fixed costs amortize across the batch anyway.
+
+    window_impl: "auto" uses the Pallas dynamic-window DMA kernel for
+    the payload grab on TPU (kernels.dynwin); "xla" forces the
+    clamp+roll+mask formulation (vmappable — batched decodes use it)."""
     S = cfg.num_streams
     M = cfg.M
     m_occ = cfg.M_occupied
@@ -198,19 +203,40 @@ def decode(
     # (the reference hardcodes rx index 1 == num_streams-1, framing.cc:857).
     # The payload is ONE contiguous slice straight from the capture (large
     # element-level gathers are a TPU perf trap — measured 30 ms for the
-    # 4M-element variant vs ~1 ms for the contiguous copy); the window-
-    # sized intermediate of the old path is gone.  Right padding keeps the
-    # windowcf's read-zeros-past-the-end semantics, and the extra
-    # region_len of padding guarantees the slice start never clamps.
+    # 4M-element variant vs ~1 ms for the contiguous copy).  No padded
+    # capture copy either (jnp.pad + dynamic_slice lowered to while loops
+    # carrying payload-sized buffers — measured ~1.5 ms of the 4 ms
+    # decode): slice at a start clamped so the window always fits, then
+    # roll the clamp shortfall back out and zero-mask past-the-end
+    # positions (the windowcf's read-zeros semantics).
     decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
     n_sym = cfg.pid_max
     plen = n_sym * cfg.symbol_len
-    region_len = region.shape[-1]
-    padded = jnp.pad(iq, ((0, 0), (cfg.symbol_len, plen + region_len)))
-    pstart = jnp.clip(sync_index, 0, T) + decode_start
-    payload = jax.lax.dynamic_slice(
-        padded, (jnp.int32(0), pstart.astype(jnp.int32)), (S, plen)
-    ).reshape(S, n_sym, cfg.symbol_len)
+    # capture-coordinate start; >= 0 always (decode_start >= M and the
+    # window origin is sync_index - symbol_len with sync_index >= 0)
+    cstart = jnp.clip(sync_index, 0, T) + decode_start - cfg.symbol_len
+    if window_impl == "auto" and jax.default_backend() == "tpu":
+        # TPU: one DMA-rate pass (XLA's pad/roll + dynamic_slice lowerings
+        # all run as while loops carrying payload-sized buffers —
+        # measured ~1.5 ms of the 4 ms decode; the kernel is ~0.1 ms)
+        from rub_mimo_tpu.kernels.dynwin import dynamic_window
+
+        payload = dynamic_window(iq, cstart, plen)
+    else:
+        if T >= plen:
+            s0 = jnp.minimum(cstart, T - plen).astype(jnp.int32)
+            shortfall = (cstart - s0).astype(jnp.int32)  # 0 unless at the end
+            payload = jax.lax.dynamic_slice(
+                iq, (jnp.int32(0), s0), (S, plen)
+            )
+            payload = jnp.roll(payload, -shortfall, axis=-1)
+        else:  # capture shorter than the payload span: pad right once
+            payload = jnp.pad(iq, ((0, 0), (0, plen - T)))
+            payload = jnp.roll(payload, -jnp.clip(cstart, 0, plen), axis=-1)
+        # zero everything at capture position >= T (past the capture)
+        k = jnp.arange(plen, dtype=jnp.int32)[None, :]
+        payload = jnp.where(cstart + k < T, payload, 0.0)
+    payload = payload.reshape(S, n_sym, cfg.symbol_len)
     x_t = payload[:, :, cfg.cp_len :]  # CP strip (framing.cc:558)
     if cfg.correct_cfo:
         # the residual rotation was applied to the region copy only; the
@@ -352,7 +378,8 @@ def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):
     def _decode_batch(iq_batch):
         return jax.vmap(
             lambda iq: decode(iq, cfg, keep_debug=False,
-                              mf_method=mf_method, sync_impl="coarse")
+                              mf_method=mf_method, sync_impl="coarse",
+                              window_impl="xla")
         )(iq_batch)
 
     return _decode_batch
