@@ -121,6 +121,13 @@ def main():
                          "Perfetto-loadable) instead of a temp dir")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--check", action="store_true",
+                    help="instead of the throughput bench: run every "
+                         "backend-dispatched impl (window grab, sync impl, "
+                         "matched-filter method) compiled on the attached "
+                         "backend, assert equality, and write per-impl "
+                         "timings to rub_mimo_tpu/data/impl_timings.json — "
+                         "the table the 'auto' dispatches consult")
     args = ap.parse_args()
 
     import jax
@@ -137,6 +144,15 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.check:
+        from rub_mimo_tpu.utils import impl_check
+
+        results = impl_check.run_check(frames=args.frames,
+                                       iters=args.iters,
+                                       verbose=args.verbose)
+        print(json.dumps(results), flush=True)
+        return
 
     import jax.numpy as jnp
     import numpy as np

@@ -46,6 +46,12 @@ def _kernel(off_ref, x_ref, out_ref, scratch, sem, *, B: int, S: int,
     # 128 while still covering the array's unaligned tail — the fetch may
     # then run up to 127 lanes past W, into the minor-dim tile padding
     # every TPU allocation carries (those lanes are position-masked below)
+    # LAYOUT DEPENDENCY (no API guarantee): this relies on XLA:TPU's
+    # tiled minor-dim padding — every f32 allocation's last dim is
+    # physically padded to a multiple of the 128-lane tile, so a DMA
+    # ending <=127 lanes past the logical end stays inside the buffer.
+    # A future linear-HBM layout would make this a real OOB read; if
+    # Mosaic ever exposes a queried layout, derive `hi` from it instead.
     hi = max(-(-(W - B - 128) // 128) * 128, 0)
     sa = pl.multiple_of(jnp.clip((s // 128) * 128, 0, hi), 128)
     d = jnp.clip(s - sa, -B, B + 128)        # residual shift
@@ -83,6 +89,11 @@ def dynamic_window(
     reference windowcf's zero-initialized backing store).
     """
     S, T = x.shape
+    if block % 128:
+        # the whole scheme (sa alignment, the static scratch offset B)
+        # assumes lane-dim 128-alignment; a stray block size would
+        # miscompile in Mosaic rather than error cleanly
+        raise ValueError(f"block must be a multiple of 128, got {block}")
     is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating)
     if is_complex:
         xf = x.astype(jnp.complex64).view(jnp.float32)  # [S, 2T] interleaved

@@ -34,8 +34,13 @@ def make_sharded_batch_decoder(cfg: ModemConfig, mesh: Mesh,
 
     @functools.partial(jax.jit, in_shardings=(sharding,))
     def _decode_batch(iq_batch):
+        # window_impl="xla" alongside sync_impl="coarse": vmapping the
+        # scalar-prefetch Pallas window kernel hits JAX's explicit-loop
+        # batching fallback, serializing the payload grab per capture —
+        # same reason make_batch_decoder forces both (pipeline/rx.py)
         return jax.vmap(
-            lambda iq: rx_mod.decode(iq, cfg, sync_impl="coarse")
+            lambda iq: rx_mod.decode(iq, cfg, sync_impl="coarse",
+                                     window_impl="xla")
         )(iq_batch)
 
     return _decode_batch

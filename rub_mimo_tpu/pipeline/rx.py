@@ -104,6 +104,45 @@ def _extract_region(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
     )
 
 
+def extract_payload(
+    iq: jax.Array, cstart: jax.Array, plen: int, impl: str = "auto"
+) -> jax.Array:
+    """The payload grab: ``iq[:, cstart : cstart + plen]`` with windowcf
+    read-zeros semantics outside the capture (framing.cc:284, 639-651).
+
+    This is the stage that shipped round 2's 70x regression; it is a
+    named function so ``bench.py --check`` can time every impl compiled
+    on the attached backend against the same inputs the decode uses.
+
+    impl: "auto" (consult the measured table), "xla" (clamp+roll+mask —
+    vmappable, the safe fallback), "dynwin" (Pallas DMA kernel).
+    """
+    S, T = iq.shape
+    if impl == "auto":
+        from rub_mimo_tpu.utils.impl_select import best_impl
+
+        impl = best_impl("window", jax.default_backend())
+    if impl == "dynwin":
+        from rub_mimo_tpu.kernels.dynwin import dynamic_window
+
+        return dynamic_window(iq, cstart, plen)
+    # XLA formulation: slice at a start clamped so the window always
+    # fits, roll the clamp shortfall back out, zero-mask past-the-end
+    # positions (pad + dynamic_slice and element-level gathers both
+    # lower to payload-sized while loops / 30 ms gathers — see decode)
+    if T >= plen:
+        s0 = jnp.minimum(cstart, T - plen).astype(jnp.int32)
+        shortfall = (cstart - s0).astype(jnp.int32)  # 0 unless at the end
+        payload = jax.lax.dynamic_slice(iq, (jnp.int32(0), s0), (S, plen))
+        payload = jnp.roll(payload, -shortfall, axis=-1)
+    else:  # capture shorter than the payload span: pad right once
+        payload = jnp.pad(iq, ((0, 0), (0, plen - T)))
+        payload = jnp.roll(payload, -jnp.clip(cstart, 0, plen), axis=-1)
+    # zero everything at capture position >= T (past the capture)
+    k = jnp.arange(plen, dtype=jnp.int32)[None, :]
+    return jnp.where(cstart + k < T, payload, 0.0)
+
+
 def decode(
     iq: jax.Array,
     cfg: ModemConfig,
@@ -120,9 +159,15 @@ def decode(
     has scalar SMEM outputs that cannot be vmapped, and the coarse
     path's fixed costs amortize across the batch anyway.
 
-    window_impl: "auto" uses the Pallas dynamic-window DMA kernel for
-    the payload grab on TPU (kernels.dynwin); "xla" forces the
-    clamp+roll+mask formulation (vmappable — batched decodes use it)."""
+    window_impl: "auto" consults the committed on-chip measurement
+    table (utils.impl_select, regenerated by ``bench.py --check``) and
+    picks the fastest impl that passed the equality check on this
+    backend — falling back to "xla" (the clamp+roll+mask formulation,
+    vmappable; batched decodes force it) when unmeasured.  "dynwin"
+    forces the Pallas dynamic-window DMA kernel (kernels.dynwin) —
+    BENCH_r02 measured it ~70x slower than the XLA path at the
+    reference operating point, so it never wins auto without a fresh
+    measurement saying otherwise."""
     S = cfg.num_streams
     M = cfg.M
     m_occ = cfg.M_occupied
@@ -201,41 +246,16 @@ def decode(
     # ---- payload slice & batched OFDM demodulation ----
     # decode starts at the last access code's peak + M on the last rx stream
     # (the reference hardcodes rx index 1 == num_streams-1, framing.cc:857).
-    # The payload is ONE contiguous slice straight from the capture (large
-    # element-level gathers are a TPU perf trap — measured 30 ms for the
-    # 4M-element variant vs ~1 ms for the contiguous copy).  No padded
-    # capture copy either (jnp.pad + dynamic_slice lowered to while loops
-    # carrying payload-sized buffers — measured ~1.5 ms of the 4 ms
-    # decode): slice at a start clamped so the window always fits, then
-    # roll the clamp shortfall back out and zero-mask past-the-end
-    # positions (the windowcf's read-zeros semantics).
+    # The payload is ONE contiguous slice straight from the capture —
+    # formulation choices and their measured costs live in
+    # extract_payload above.
     decode_start = (mf.ac_index[S - 1, -1] + M).astype(jnp.int32)
     n_sym = cfg.pid_max
     plen = n_sym * cfg.symbol_len
     # capture-coordinate start; >= 0 always (decode_start >= M and the
     # window origin is sync_index - symbol_len with sync_index >= 0)
     cstart = jnp.clip(sync_index, 0, T) + decode_start - cfg.symbol_len
-    if window_impl == "auto" and jax.default_backend() == "tpu":
-        # TPU: one DMA-rate pass (XLA's pad/roll + dynamic_slice lowerings
-        # all run as while loops carrying payload-sized buffers —
-        # measured ~1.5 ms of the 4 ms decode; the kernel is ~0.1 ms)
-        from rub_mimo_tpu.kernels.dynwin import dynamic_window
-
-        payload = dynamic_window(iq, cstart, plen)
-    else:
-        if T >= plen:
-            s0 = jnp.minimum(cstart, T - plen).astype(jnp.int32)
-            shortfall = (cstart - s0).astype(jnp.int32)  # 0 unless at the end
-            payload = jax.lax.dynamic_slice(
-                iq, (jnp.int32(0), s0), (S, plen)
-            )
-            payload = jnp.roll(payload, -shortfall, axis=-1)
-        else:  # capture shorter than the payload span: pad right once
-            payload = jnp.pad(iq, ((0, 0), (0, plen - T)))
-            payload = jnp.roll(payload, -jnp.clip(cstart, 0, plen), axis=-1)
-        # zero everything at capture position >= T (past the capture)
-        k = jnp.arange(plen, dtype=jnp.int32)[None, :]
-        payload = jnp.where(cstart + k < T, payload, 0.0)
+    payload = extract_payload(iq, cstart, plen, impl=window_impl)
     payload = payload.reshape(S, n_sym, cfg.symbol_len)
     x_t = payload[:, :, cfg.cp_len :]  # CP strip (framing.cc:558)
     if cfg.correct_cfo:

@@ -351,22 +351,21 @@ def synchronize(
 ) -> SyncResult:
     """Full sync stage: metric + plateau scan + CFO estimate.
 
-    impl: "auto" picks per backend when the caller does not need the
-    metric array — the fused one-pass Pallas kernel (kernels.sc_sync)
-    on TPU (measured fastest: 0.6 ms kernel + the plane-split prologue
-    beats the pure-XLA alternatives' lowering), the coarse+refine path
-    (_synchronize_coarse) elsewhere; "coarse" forces coarse+refine;
-    "xla" forces the chunked full scan; "pallas" forces the kernel
-    (interpret-mode on non-TPU backends)."""
-    on_tpu = jax.default_backend() == "tpu"
-    if impl == "pallas":
-        use_kernel = True
-    else:
-        use_kernel = impl == "auto" and not keep_metric and on_tpu
-        if not use_kernel and not keep_metric and impl in (
-            "auto", "coarse"
-        ):
-            return _synchronize_coarse(x, cfg, block)
+    impl: "auto" consults the committed on-chip measurement table
+    (utils.impl_select, regenerated by ``bench.py --check``) when the
+    caller does not need the metric array, picking the fastest impl
+    that passed the equality check on this backend; unmeasured backends
+    fall back to "coarse".  "coarse" forces the coarse+refine path
+    (_synchronize_coarse); "xla" forces the chunked full scan; "pallas"
+    forces the fused one-pass kernel (kernels.sc_sync; interpret-mode
+    on non-TPU backends)."""
+    if impl == "auto" and not keep_metric:
+        from rub_mimo_tpu.utils.impl_select import best_impl
+
+        impl = best_impl("sync", jax.default_backend())
+    use_kernel = impl == "pallas"
+    if not use_kernel and not keep_metric and impl in ("auto", "coarse"):
+        return _synchronize_coarse(x, cfg, block)
     if use_kernel:
         from rub_mimo_tpu.kernels.sc_sync import sc_sync_fused
 
