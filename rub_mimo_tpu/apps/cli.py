@@ -110,6 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
                             "e.g. liquid-dsp's arb32opt list for "
                             "symbol-exact parity with reference "
                             "captures)")
+        p.add_argument("--arb32opt-from-liquid", action="store_true",
+                       help="extract the exact ARB32OPT table from an "
+                            "installed liquid-dsp (dlopen libliquid) and "
+                            "install it — symbol-exact parity with "
+                            "reference-recorded captures without a table "
+                            "file (see scripts/extract_liquid_arb32opt.py)")
 
     p_run = sub.add_parser("run", help="synthetic end-to-end experiment")
     add_common(p_run)
@@ -312,6 +318,14 @@ def main(argv=None):
             constellation.load_arb32opt_table(args.arb32opt_table)
         except (OSError, ValueError) as e:
             print(f"error: --arb32opt-table: {e}", file=sys.stderr)
+            return 2
+    elif getattr(args, "arb32opt_from_liquid", False):
+        from rub_mimo_tpu.ofdm import liquid_tables
+
+        try:
+            liquid_tables.install_liquid_arb32opt()
+        except liquid_tables.LiquidNotFound as e:
+            print(f"error: --arb32opt-from-liquid: {e}", file=sys.stderr)
             return 2
 
     if args.command == "run":

@@ -69,26 +69,48 @@ def _sustained_ms(fn, args, iters: int) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def _fetch(tree):
-    from rub_mimo_tpu.utils.transfer import to_host
+@functools.lru_cache(maxsize=1)
+def _comparator():
+    """Jitted on-device equality: large arrays (the [2, 2.2M] payload)
+    cannot be fetched through the tunneled attachment (UNIMPLEMENTED on
+    >~MB transfers), so equality is computed on device and only the
+    boolean comes back."""
+    import functools as _ft
 
     import jax
+    import jax.numpy as jnp
 
-    return [np.asarray(to_host(l)) for l in jax.tree_util.tree_leaves(tree)]
+    @_ft.partial(jax.jit, static_argnames=("exact",))
+    def equal(a_leaves, b_leaves, exact):
+        ok = jnp.bool_(True)
+        for a, b in zip(a_leaves, b_leaves):
+            ct = jnp.result_type(a.dtype, b.dtype)
+            a, b = a.astype(ct), b.astype(ct)
+            same = jnp.all(a == b)
+            if not exact and np.dtype(ct).kind in "fc":
+                d = jnp.abs(a - b)
+                tol = 1e-5 + 1e-4 * jnp.abs(b)
+                same = same | jnp.all(d <= tol)
+            ok = ok & same
+        return ok
+
+    return equal
 
 
-def _equal(a_leaves, b_leaves, *, exact: bool) -> bool:
+def _equal(a_tree, b_tree, *, exact: bool) -> bool:
+    import jax
+
+    from rub_mimo_tpu.utils.transfer import to_host
+
+    a_leaves = list(jax.tree_util.tree_leaves(a_tree))
+    b_leaves = list(jax.tree_util.tree_leaves(b_tree))
     if len(a_leaves) != len(b_leaves):
         return False
-    for a, b in zip(a_leaves, b_leaves):
-        if a.shape != b.shape:
-            return False
-        if exact or a.dtype.kind in "iub":
-            if not np.array_equal(a, b):
-                return False
-        elif not np.allclose(a, b, rtol=1e-4, atol=1e-5):
-            return False
-    return True
+    if any(a.shape != b.shape for a, b in zip(a_leaves, b_leaves)):
+        return False
+    return bool(np.asarray(to_host(
+        _comparator()(a_leaves, b_leaves, exact=exact)
+    )))
 
 
 def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
@@ -103,7 +125,6 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
     from rub_mimo_tpu.pipeline import rx
     from rub_mimo_tpu.sync import matched_filter, schmidl_cox
     from rub_mimo_tpu.utils import impl_select
-    from rub_mimo_tpu.utils.transfer import to_host
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -138,17 +159,16 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
     )
     window_impls = ["xla"] + (["dynwin"] if on_tpu else [])
     point = {}
-    ref_leaves = None
+    ref = None
     for impl in window_impls:
         fn = jax.jit(
             lambda x, s, impl=impl: rx.extract_payload(x, s, plen, impl=impl)
         )
         try:
-            out_leaves = _fetch(fn(capture, cstart))
+            out = fn(capture, cstart)
             if impl == impl_select.FALLBACKS["window"]:
-                ref_leaves = out_leaves
-            eq = (ref_leaves is not None
-                  and _equal(out_leaves, ref_leaves, exact=True))
+                ref = out
+            eq = ref is not None and _equal(out, ref, exact=True)
             ms = _sustained_ms(fn, (capture, cstart), iters)
             point[impl] = {"device_ms": round(ms, 4), "equal": bool(eq)}
         except Exception as e:  # a broken impl must be recorded, not fatal
@@ -160,24 +180,23 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
     # ---- point: S&C sync impl ----
     sync_impls = ["coarse", "xla"] + (["pallas"] if on_tpu else [])
     point = {}
-    ref_leaves = None
+    ref = None
     for impl in sync_impls:
         fn = jax.jit(
             lambda x, impl=impl: schmidl_cox.synchronize(x, cfg, impl=impl)
         )
         try:
             r = fn(capture)
-            # compare the integer decisions (synced / t* / index / starts);
-            # cfo is float and impl-order-sensitive — allclose
-            ints = _fetch((r.synced, r.sync_sample, r.sync_index,
-                           r.plateau_start, r.plateau_end))
-            cfo = np.asarray(to_host(r.cfo_hat))
+            # compare the integer decisions (synced / t* / index / starts)
+            # exactly; cfo is float and impl-order-sensitive — allclose
+            ints = (r.synced, r.sync_sample, r.sync_index,
+                    r.plateau_start, r.plateau_end)
             if impl == impl_select.FALLBACKS["sync"]:
-                ref_leaves = (ints, cfo)
+                ref = (ints, r.cfo_hat)
             eq = (
-                ref_leaves is not None
-                and _equal(ints, ref_leaves[0], exact=True)
-                and np.allclose(cfo, ref_leaves[1], rtol=1e-3, atol=1e-4)
+                ref is not None
+                and _equal(ints, ref[0], exact=True)
+                and _equal(r.cfo_hat, ref[1], exact=False)
             )
             ms = _sustained_ms(fn, (capture,), iters)
             point[impl] = {"device_ms": round(ms, 4), "equal": bool(eq)}
@@ -189,18 +208,17 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
 
     # ---- point: matched-filter method ----
     point = {}
-    ref_leaves = None
+    ref = None
     for method in ["xcorr", "direct"]:
         fn = jax.jit(
             lambda w, m=method: matched_filter.search(w, cfg, method=m)
         )
         try:
             r = fn(region)
-            idx = _fetch((r.s0_index, r.ac_index))
+            idx = (r.s0_index, r.ac_index)
             if method == impl_select.FALLBACKS["matched_filter"]:
-                ref_leaves = idx
-            eq = ref_leaves is not None and _equal(idx, ref_leaves,
-                                                   exact=True)
+                ref = idx
+            eq = ref is not None and _equal(idx, ref, exact=True)
             ms = _sustained_ms(fn, (region,), iters)
             point[method] = {"device_ms": round(ms, 4), "equal": bool(eq)}
         except Exception as e:
@@ -219,6 +237,9 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
         table[backend] = results
         table.setdefault("_meta", {})[backend] = {
             "method": "sustained_wall (fetch-backed barrier)",
+            "note": "absolute ms include per-dispatch tunnel overhead "
+                    "(~1-3 ms on the axon attachment); RELATIVE ordering "
+                    "within a dispatch point is what auto selection uses",
             "frames": frames,
             "iters": iters,
             "capture_shape": [int(S), int(T)],
