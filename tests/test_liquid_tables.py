@@ -83,12 +83,19 @@ def _restore_table():
 
 
 def _expected_table():
-    pts = np.array([complex((s % 8) - 3.5, (s // 8) - 1.5) / complex(1)
-                    for s in range(32)])
-    pts = np.array([complex(((s % 8) - 3.5) / 2.0, ((s // 8) - 1.5))
-                    for s in range(32)])
-    pts = pts / np.sqrt(np.mean(np.abs(pts) ** 2))
-    return pts.astype(np.complex64)
+    """Float-faithful replay of the mock's C arithmetic: re/im computed
+    in double, stored to f32; energy accumulated in double from the
+    DOUBLE values; gain narrowed to f32; the scale applied in f32."""
+    s = np.arange(32)
+    re = ((s % 8) - 3.5) / 2.0
+    im = (s // 8) - 1.5
+    tab = np.empty(64, np.float32)
+    tab[0::2] = re
+    tab[1::2] = im
+    e = np.sum(re * re + im * im)
+    g = np.float32(1.0 / np.sqrt(e / 32.0))
+    tab = tab * g  # f32 * f32
+    return tab.view(np.complex64)
 
 
 def test_not_found_is_clean():
@@ -117,15 +124,15 @@ def test_install_and_decode_golden(mock_libliquid):
     install matters)."""
     import jax.numpy as jnp
 
-    from rub_mimo_tpu.config import ModemConfig
+    from rub_mimo_tpu.config import Modulation, tiny_config
     from rub_mimo_tpu.io import simulator
     from rub_mimo_tpu.pipeline import rx
 
     pts = liquid_tables.extract_modem_table("arb32opt", mock_libliquid)
     constellation.set_arb32opt_table(pts)
 
-    cfg = ModemConfig(M=64, cp_len=16, num_access_codes=4, pid_max=6)
-    spec = simulator.ChannelSpec(snr_db=35.0, delay=300, seed=7)
+    cfg = tiny_config(modulation=Modulation.ARB32OPT, pid_max=6)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=300, seed=42)
     capture, tx_data, _ = simulator.simulate_capture(cfg, spec)
     res = rx.decode(jnp.asarray(capture), cfg)
     assert bool(res.synced)
