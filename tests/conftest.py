@@ -24,6 +24,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is XLA-compile-dominated, so
+# repeat runs drop sharply once executables are cached on disk.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/rub_mimo_test_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache support must never break the suite
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -129,6 +129,7 @@ def test_presets_construct(name):
     assert spec.snr_db > 0
 
 
+@pytest.mark.slow
 def test_preset_siso_loopback_e2e():
     """Config 1 as a preset, shrunk: true 1x1 loopback through AWGN."""
     cfg, spec = presets.siso_loopback(
@@ -173,6 +174,7 @@ def test_html_report(tmp_path):
     assert out.stat().st_size > 50000
 
 
+@pytest.mark.slow
 def test_cli_precoded_and_checkpoint(tmp_path):
     from rub_mimo_tpu.apps import cli
     from rub_mimo_tpu.pipeline import checkpoint

@@ -118,6 +118,7 @@ def test_checkpoint_resume_rx_diversity(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_cfo_and_alamouti(tmp_path):
     """Regression (code review round 2): resume must re-apply the saved
     CFO derotations (coarse+residual, correct phase references) and

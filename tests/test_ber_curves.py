@@ -46,6 +46,7 @@ def _run_siso(snr_db, pid_max=64, seed=5):
     return rep.symbol_error_rate[0] / 100.0
 
 
+@pytest.mark.slow
 def test_ser_monotonic_and_tracks_theory():
     snrs = [8.0, 11.0, 14.0]
     sers = [_run_siso(s) for s in snrs]
@@ -89,6 +90,7 @@ def _golden():
     return json.loads(_GOLDEN_PATH.read_text())
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("key", sorted(GRID))
 def test_ber_curve_matches_golden(key):
     golden = _golden()[key]

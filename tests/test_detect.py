@@ -141,6 +141,7 @@ def test_qam256_roundtrip_and_e2e():
     assert max(rep.symbol_error_rate) < 2.0
 
 
+@pytest.mark.slow
 def test_3x3_mimo_e2e():
     """Odd stream count (3x3): generalized NxN detection + auto-extended
     polynomial set."""
@@ -186,6 +187,7 @@ def test_mmse_beats_zf_on_ill_conditioned_channel():
     assert sers[Detector.MMSE] <= sers[Detector.ZF] + 0.1
 
 
+@pytest.mark.slow
 def test_noise_var_estimate_accurate():
     """The data-aided sigma^2 estimate must match the injected AWGN level
     at the equalizer input (within estimation tolerance)."""

@@ -63,6 +63,7 @@ def test_dropout_recovers(base):
     assert max(rep.symbol_error_rate) < 20.0
 
 
+@pytest.mark.slow
 def test_batch_decode_matches_individual():
     """vmap'd decode over stacked captures == per-capture decode."""
     cfg = tiny_config(bit_exact=False, pid_max=4)

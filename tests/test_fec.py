@@ -72,6 +72,7 @@ def test_bit_symbol_packing_round_trip():
         np.testing.assert_array_equal(back, syms)
 
 
+@pytest.mark.slow
 def test_coded_beats_uncoded_end_to_end():
     """Full pipeline at an SNR where the uncoded chain makes symbol
     errors: the coded payload must decode with (near-)zero BER."""
@@ -128,6 +129,7 @@ def test_interleaver_breaks_burst_errors():
     assert bers[True] == 0.0, bers
 
 
+@pytest.mark.slow
 def test_interleaving_helps_on_selective_channel():
     """End to end on a 6-tap channel (deep per-subcarrier fades): coded
     BER with interleaving must beat coded BER without."""
@@ -162,6 +164,7 @@ def test_encode_payload_single_lane_modes():
     assert (txd[1] == 0).all()  # lane 1 carries no independent data
 
 
+@pytest.mark.slow
 def test_wifi_like_preset_coded_chain():
     """The 802.11a-shaped preset end to end: guard bands + pilots + CFO +
     selective channel + rate-1/2 coded 16-QAM payload."""
@@ -234,6 +237,7 @@ def test_punctured_payload_end_to_end_more_throughput():
     assert (dec != msg).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_data_transport_round_trip():
     """Real bytes (length + CRC-32 header) through a channel with raw
     symbol errors: recovered bit-exact."""

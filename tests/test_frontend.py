@@ -1,5 +1,6 @@
 """Blind RX front-end compensation (estimate/frontend.py)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def test_blind_estimate_exact_on_circular_data():
     assert abs(complex(np.asarray(w)[0]) - w_true) < 5e-3
 
 
+@pytest.mark.slow
 def test_compensation_rescues_imbalanced_capture():
     """1 dB / 5 deg imbalance + DC folds the spectral image onto every
     subcarrier and destroys 64-QAM; blind compensation restores it."""
@@ -69,6 +71,7 @@ def test_compensation_noop_on_clean_capture():
     assert abs(complex(np.asarray(w)[0])) < 0.05
 
 
+@pytest.mark.slow
 def test_streaming_frontend_compensation():
     """StreamingDecoder(frontend_comp=True): warmup chunks are buffered,
     the moments estimated, and the buffer replayed compensated — an

@@ -8,6 +8,7 @@ only bite at scale (window sizing, matched-filter lane layout, plateau
 widths at cp=152).
 """
 
+import pytest
 import numpy as np
 
 from rub_mimo_tpu.config import ModemConfig
@@ -15,6 +16,7 @@ from rub_mimo_tpu.io import simulator
 from rub_mimo_tpu.pipeline import report, rx
 
 
+@pytest.mark.slow
 def test_full_geometry_decode():
     cfg = ModemConfig(pid_max=8, bit_exact=False)  # reference dims
     assert cfg.M == 2048 and cfg.cp_len == 152

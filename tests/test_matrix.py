@@ -39,6 +39,7 @@ DEFAULT_SPEC = simulator.ChannelSpec(snr_db=35.0, delay=333, seed=7)
 ALT_SPEC = simulator.ChannelSpec(snr_db=32.0, delay=601, seed=77)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("alt", [False, True])
 @pytest.mark.parametrize("name", list(CASES))
 def test_offline_sharded_streaming_agree(name, alt):

@@ -133,6 +133,7 @@ def test_sc_axis_divides_payload_work():
     assert set(range(nloc)) <= (slots0 | slots1)
 
 
+@pytest.mark.slow
 def test_multihost_demo_script():
     """True multi-process multihost: 2 OS processes x 2 CPU devices joined
     via jax.distributed, sharded decode spanning both (gloo collectives);
@@ -216,6 +217,7 @@ def test_sharded_sync_fallback_matches_offline():
     )
 
 
+@pytest.mark.slow
 def test_sharded_track_phase_matches_offline():
     cfg = tiny_config(bit_exact=False, track_phase=True, pid_max=16)
     spec = simulator.ChannelSpec(snr_db=35.0, delay=256, seed=31,
@@ -250,6 +252,7 @@ def test_sharded_fallback_with_cfo_matches_offline():
     )
 
 
+@pytest.mark.slow
 def test_sharded_batch_serving_matches_single_device():
     """Data-parallel serving: 8 captures sharded over the 8-device mesh
     decode identically to the single-device batch decoder, each with its

@@ -73,6 +73,7 @@ def test_siso_mode():
     assert rep.symbol_error_rate[0] < 1.0  # single (rx,tx) pair scored
 
 
+@pytest.mark.slow
 def test_mimo_4x4():
     """Config 5 (stretch): 4x4 MIMO with auto-extended LFSR polys."""
     cfg = tiny_config(num_streams=4, num_access_codes=3, pid_max=4, bit_exact=False)
@@ -108,6 +109,7 @@ def test_no_sync_on_noise():
     assert not bool(np.asarray(result.symbol_valid).any())
 
 
+@pytest.mark.slow
 def test_matched_filter_direct_vs_xcorr():
     """The FFT cross-correlation path must agree with the reference-shaped
     direct windowed search."""

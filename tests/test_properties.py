@@ -20,6 +20,7 @@ from rub_mimo_tpu.utils.movsum import delay, moving_sum  # noqa: E402
     block=st.sampled_from([8, 16, 64, 1 << 15]),
     seed=st.integers(0, 2**31 - 1),
 )
+@pytest.mark.slow
 def test_moving_sum_property(T, w, block, seed):
     rng = np.random.default_rng(seed)
     x = rng.standard_normal(T).astype(np.float32)
@@ -47,6 +48,7 @@ def test_delay_property(T, n, seed):
     seed=st.integers(0, 2**31 - 1),
     n=st.integers(1, 256),
 )
+@pytest.mark.slow
 def test_mod_demod_roundtrip_property(mod, seed, n):
     rng = np.random.default_rng(seed)
     syms = rng.integers(0, mod.arity, n).astype(np.int32)

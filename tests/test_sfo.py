@@ -53,6 +53,7 @@ def test_estimator_recovers_injected_sfo():
     assert abs(float(d) * 1e6 - 100.0) < 10.0, float(d) * 1e6
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ppm", [30.0, 100.0, -200.0])
 def test_decode_with_sfo_recovers(ppm):
     """Tracked-decision estimate + band-limited resample: captures that
@@ -74,6 +75,7 @@ def test_decode_with_sfo_recovers(ppm):
     assert abs(float(dtot) * 1e6 - ppm) < 0.15 * abs(ppm) + 5.0
 
 
+@pytest.mark.slow
 def test_sfo_noop_on_clean_capture():
     """decode_with_sfo on an offset-free capture must not hurt."""
     cfg = tiny_config(bit_exact=False, pid_max=64,
@@ -102,6 +104,7 @@ def test_bandlimited_resampler_odd_length():
         assert err < 0.01, (b, err)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("det", ["ml", "sic"])
 def test_decode_with_sfo_nonlinear_detectors(det):
     """decode_with_sfo must run its helper decodes with a ZF-family

@@ -135,6 +135,7 @@ def _stream(cfg, cap, chunk=512, **kw):
     return dec
 
 
+@pytest.mark.slow
 def test_streaming_sfo_estimates_and_corrects():
     """Three bursts at sfo_ppm=100: the live estimate converges to the
     offline two-pass value and later bursts decode better than the

@@ -17,6 +17,7 @@ def _setup_4x4():
     return base, cap, tx_data
 
 
+@pytest.mark.slow
 def test_sic_beats_zf_on_4x4_qam64():
     """The regime ML cannot reach (64^4 combos): ordered cancellation
     must decode clean where ZF leaks symbol errors."""

@@ -26,6 +26,7 @@ def test_smoothing_is_exact_for_cp_causal_channel():
     assert rel < 0.02, rel
 
 
+@pytest.mark.slow
 def test_smoothing_halves_ser_with_short_preamble():
     """One access code = noisy LS estimate: truncation buys ~5 dB of
     estimation SNR at tiny dims and roughly halves the SER."""

@@ -33,6 +33,7 @@ def test_soak_2x2_zf(seed):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS[:4])
 def test_soak_modes(seed):
     for cfg in (

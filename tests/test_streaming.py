@@ -36,6 +36,7 @@ def test_streaming_matches_offline(chunk):
     )
 
 
+@pytest.mark.slow
 def test_streaming_sync_across_chunk_boundary():
     """Place the frame so the plateau straddles a chunk boundary."""
     cfg = tiny_config(bit_exact=False)
@@ -193,6 +194,7 @@ def test_streaming_fallback_with_cfo():
     assert agree > 0.95, agree
 
 
+@pytest.mark.slow
 def test_streaming_cfo_overshoot_regression():
     """Regression (code review round 2): the estimation-trigger overshoot
     tail must be enqueued in coarse-derotated space.  delay/seed chosen so

@@ -14,6 +14,7 @@ def _drift_capture(cfg, drift, seed=3):
     return simulator.simulate_capture(cfg, spec)
 
 
+@pytest.mark.slow
 def test_tracking_recovers_drifting_channel():
     """A per-element phase drift that wrecks the one-shot estimator must
     decode cleanly with block tracking.  Rate calibration: the rotation
@@ -58,6 +59,7 @@ def test_tracking_validation():
                     track_block_frames=16).validate()
 
 
+@pytest.mark.slow
 def test_streaming_tracking_recovers_drifting_channel():
     """track_channel in the STREAMING decoder: per-payload-block refit
     with carried state follows the same drift (block boundaries differ
