@@ -61,128 +61,104 @@ def _scan_last(x: jax.Array, op, identity) -> jax.Array:
     return x
 
 
-def _kernel(cur_ref,
+def _kernel(cur_r, cur_i,
             synced_ref, tstar_ref, starts_ref, corr_ref,
             lb_scr, flag_scr, hist_r, hist_i,
             *, M: int, B: int, S: int, cp: int, thr: float, T: int):
     M2 = M // 2
     i = pl.program_id(0)
 
+    # ---- metric + corr for this block ----
+    # The M-sample history halo is CARRIED in VMEM scratch across the
+    # sequential grid steps (each block is read from HBM exactly once;
+    # passing the array twice with shifted index maps made XLA insert
+    # full-capture defensive copies for the duplicated operand).  The
+    # input planes are unpadded: the last block may read past the array
+    # edge, zero-masked here by global position; block 0's history is
+    # zeroed explicitly.
     @pl.when(i == 0)
-    def _init():
+    def _zero_hist():
         hist_r[:, :] = jnp.zeros((S, M), jnp.float32)
         hist_i[:, :] = jnp.zeros((S, M), jnp.float32)
+
+    ext_pos = i * B - M + jax.lax.broadcasted_iota(
+        jnp.int32, (S, B + M), 1
+    )
+    inside = ext_pos < T  # history/left edge handled by the zero scratch
+    xr = jnp.concatenate([hist_r[:, :], cur_r[:, :]], axis=-1)
+    xi = jnp.concatenate([hist_i[:, :], cur_i[:, :]], axis=-1)
+    xr = jnp.where(inside, xr, 0.0)
+    xi = jnp.where(inside, xi, 0.0)
+    # carry this block's tail as the next step's history (masked values:
+    # the tail of the LAST block is never consumed)
+    hist_r[:, :] = xr[:, B:]
+    hist_i[:, :] = xi[:, B:]
+    ar, ai = xr[:, :-M2], xi[:, :-M2]
+    br, bi = xr[:, M2:], xi[:, M2:]
+    prod_r = ar * br + ai * bi
+    prod_i = ar * bi - ai * br
+    cr = _scan_last(prod_r, jnp.add, 0.0)
+    ci = _scan_last(prod_i, jnp.add, 0.0)
+    # corr = -moving_sum(prod, M/2)  (the reference's -1.0 taps,
+    # framing.cc:342 — squared away in the metric, kept for the CFO sign)
+    corr_r = -(cr[:, M2: B + M2] - cr[:, :B])
+    corr_i = -(ci[:, M2: B + M2] - ci[:, :B])
+    ce = _scan_last(xr * xr + xi * xi, jnp.add, 0.0)
+    energy = 0.5 * (ce[:, M: B + M] - ce[:, :B])
+    metric = (corr_r * corr_r + corr_i * corr_i) / (energy * energy)
+
+    # ---- plateau tracking with carried last-below state ----
+    idx = i * B + jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
+    above = metric > thr                      # NaN -> False, like C float
+    masked = jnp.where(above, jnp.int32(_NEG1), idx)
+    local_cm = _scan_last(masked, jnp.maximum, _NEG1)
+
+    @pl.when(i == 0)
+    def _init():
         for s in range(S):
             lb_scr[s] = jnp.int32(_NEG1)
         flag_scr[0] = jnp.int32(0)
         synced_ref[0] = jnp.int32(0)
         tstar_ref[0] = jnp.int32(0)
 
-    # EARLY EXIT: the decode consumes only the FIRST fire (sync_index,
-    # starts, corr at t*) — every block after the capturing one computes
-    # nothing the pipeline will ever read, so skip all compute once the
-    # carried flag is set.  Sync typically fires within the first block
-    # (delay + preamble ~ 10k samples of a 2.3M-sample capture), making
-    # the sync stage O(t*) compute instead of O(T); the only whole-
-    # capture cost left is the block pipeline's streaming DMA.
-    @pl.when(flag_scr[0] == 0)
-    def _process():
-        # ---- deinterleave the c64-bitcast block on the MXU ----
-        # cur is [S, 2B] interleaved (re, im, re, im, ...): grouped to
-        # 256-lane tiles, two 0/1 selection matmuls split even/odd lanes
-        # exactly (f32 x {0,1} products).  Feeding the kernel the bitcast
-        # view instead of jnp.real/imag planes removes the full-capture
-        # plane-split copy XLA otherwise materializes (~1.3 ms at the
-        # reference operating point).
-        kk = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (256, 128), 1)
-        e_even = (kk == 2 * jj).astype(jnp.float32)
-        e_odd = (kk == 2 * jj + 1).astype(jnp.float32)
-        g = cur_ref[:, :].reshape(S * (2 * B // 256), 256)
-        cur_r = jax.lax.dot(
-            g, e_even, preferred_element_type=jnp.float32
-        ).reshape(S, B)
-        cur_i = jax.lax.dot(
-            g, e_odd, preferred_element_type=jnp.float32
-        ).reshape(S, B)
+    carry = jnp.array([lb_scr[s] for s in range(S)], jnp.int32)  # [S]
+    lb = jnp.maximum(local_cm, carry[:, None])
+    run_start = lb + 1
+    cond = above & ((idx - run_start) > cp)
+    cond_all_i = jnp.min(cond.astype(jnp.int32), axis=0)  # [B] AND streams
+    fire_idx = jnp.where(cond_all_i > 0, idx[0], jnp.int32(_BIG))
+    t_blk = jnp.min(fire_idx)
+    any_fire = t_blk < _BIG
 
-        # ---- metric + corr for this block ----
-        # The M-sample history halo is CARRIED in VMEM scratch across the
-        # sequential grid steps (each block is read from HBM exactly
-        # once; passing the array twice with shifted index maps made XLA
-        # insert full-capture defensive copies for the duplicated
-        # operand).  The input is unpadded: the last block may read past
-        # the array edge, zero-masked here by global position; block 0's
-        # history is zeroed at init.
-        ext_pos = i * B - M + jax.lax.broadcasted_iota(
-            jnp.int32, (S, B + M), 1
-        )
-        inside = ext_pos < T  # left edge handled by the zero scratch
-        xr = jnp.concatenate([hist_r[:, :], cur_r], axis=-1)
-        xi = jnp.concatenate([hist_i[:, :], cur_i], axis=-1)
-        xr = jnp.where(inside, xr, 0.0)
-        xi = jnp.where(inside, xi, 0.0)
-        # carry this block's tail as the next step's history (masked
-        # values: the tail of the LAST block is never consumed)
-        hist_r[:, :] = xr[:, B:]
-        hist_i[:, :] = xi[:, B:]
-        ar, ai = xr[:, :-M2], xi[:, :-M2]
-        br, bi = xr[:, M2:], xi[:, M2:]
-        prod_r = ar * br + ai * bi
-        prod_i = ar * bi - ai * br
-        cr = _scan_last(prod_r, jnp.add, 0.0)
-        ci = _scan_last(prod_i, jnp.add, 0.0)
-        # corr = -moving_sum(prod, M/2)  (the reference's -1.0 taps,
-        # framing.cc:342 — squared away in the metric, kept for the CFO
-        # sign)
-        corr_r = -(cr[:, M2: B + M2] - cr[:, :B])
-        corr_i = -(ci[:, M2: B + M2] - ci[:, :B])
-        ce = _scan_last(xr * xr + xi * xi, jnp.add, 0.0)
-        energy = 0.5 * (ce[:, M: B + M] - ce[:, :B])
-        metric = (corr_r * corr_r + corr_i * corr_i) / (energy * energy)
-
-        # ---- plateau tracking with carried last-below state ----
-        idx = i * B + jax.lax.broadcasted_iota(jnp.int32, (S, B), 1)
-        above = metric > thr                  # NaN -> False, like C float
-        masked = jnp.where(above, jnp.int32(_NEG1), idx)
-        local_cm = _scan_last(masked, jnp.maximum, _NEG1)
-
-        carry = jnp.array([lb_scr[s] for s in range(S)], jnp.int32)  # [S]
-        lb = jnp.maximum(local_cm, carry[:, None])
-        run_start = lb + 1
-        cond = above & ((idx - run_start) > cp)
-        cond_all_i = jnp.min(cond.astype(jnp.int32), axis=0)  # [B] AND
-        fire_idx = jnp.where(cond_all_i > 0, idx[0], jnp.int32(_BIG))
-        t_blk = jnp.min(fire_idx)
-        any_fire = t_blk < _BIG
-
-        @pl.when(i == 0)
-        def _defaults():
-            # XLA plateau_scan semantics when nothing ever fires:
-            # t*=0, starts=run_start[:,0], corr at t=0
-            onehot0 = (idx == 0).astype(jnp.float32)
-            for s in range(S):
-                starts_ref[s] = jnp.sum(
-                    run_start[s] * onehot0[s].astype(jnp.int32)
-                )
-                corr_ref[s] = jnp.sum(corr_r[s] * onehot0[s])
-                corr_ref[S + s] = jnp.sum(corr_i[s] * onehot0[s])
-
-        @pl.when(any_fire)
-        def _capture():
-            onehot = (idx == t_blk).astype(jnp.float32)  # [S, B]
-            for s in range(S):
-                starts_ref[s] = jnp.sum(
-                    run_start[s] * onehot[s].astype(jnp.int32)
-                )
-                corr_ref[s] = jnp.sum(corr_r[s] * onehot[s])
-                corr_ref[S + s] = jnp.sum(corr_i[s] * onehot[s])
-            tstar_ref[0] = t_blk
-            synced_ref[0] = jnp.int32(1)
-            flag_scr[0] = jnp.int32(1)
-
+    @pl.when(i == 0)
+    def _defaults():
+        # XLA plateau_scan semantics when nothing ever fires:
+        # t*=0, starts=run_start[:,0], corr at t=0
+        onehot0 = (idx == 0).astype(jnp.float32)
         for s in range(S):
-            lb_scr[s] = lb[s, B - 1]
+            starts_ref[s] = jnp.sum(
+                run_start[s] * onehot0[s].astype(jnp.int32)
+            )
+            corr_ref[s] = jnp.sum(corr_r[s] * onehot0[s])
+            corr_ref[S + s] = jnp.sum(corr_i[s] * onehot0[s])
+
+    flag = flag_scr[0]
+
+    @pl.when((flag == 0) & any_fire)
+    def _capture():
+        onehot = (idx == t_blk).astype(jnp.float32)  # [S, B]
+        for s in range(S):
+            starts_ref[s] = jnp.sum(
+                run_start[s] * onehot[s].astype(jnp.int32)
+            )
+            corr_ref[s] = jnp.sum(corr_r[s] * onehot[s])
+            corr_ref[S + s] = jnp.sum(corr_i[s] * onehot[s])
+        tstar_ref[0] = t_blk
+        synced_ref[0] = jnp.int32(1)
+        flag_scr[0] = jnp.int32(1)
+
+    for s in range(S):
+        lb_scr[s] = lb[s, B - 1]
 
 
 @functools.partial(
@@ -204,17 +180,14 @@ def sc_sync_fused(
     (sync.schmidl_cox), modulo chunk-summation float rounding."""
     S, T = x.shape
     B = max(int(block), M)
-    if B % 128:
-        raise ValueError(f"block must be a multiple of 128, got {B}")
     nb = -(-T // B)
-    # the capture rides in as its interleaved f32 bitcast ([S, 2T],
-    # re/im adjacent) — no jnp.real/imag plane materialization (a
-    # full-capture copy); the kernel deinterleaves per block on the MXU.
-    # No pad copies either: edge blocks read junk past the array
-    # (allowed), masked in-kernel by global position.
-    xf = x.astype(jnp.complex64).view(jnp.float32)
+    # no pad copies: the planes go in as-is; edge blocks read junk past
+    # the array (allowed) and block 0's history halo comes from a clamped
+    # index map — the kernel masks both by global position
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
 
-    cur_spec = pl.BlockSpec((S, 2 * B), lambda i: (0, i),
+    cur_spec = pl.BlockSpec((S, B), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     synced, tstar, starts, corr = pl.pallas_call(
@@ -223,7 +196,7 @@ def sc_sync_fused(
             T=T,
         ),
         grid=(nb,),
-        in_specs=[cur_spec],
+        in_specs=[cur_spec, cur_spec],
         out_specs=(
             smem((1,), lambda i: (0,)),
             smem((1,), lambda i: (0,)),
@@ -251,7 +224,7 @@ def sc_sync_fused(
             )
             if interpret else False
         ),
-    )(xf)
+    )(xr, xi)
     corr_at = corr[:S] + 1j * corr[S:]
     return (
         synced[0] > 0,

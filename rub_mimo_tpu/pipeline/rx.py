@@ -114,8 +114,11 @@ def extract_payload(
     named function so ``bench.py --check`` can time every impl compiled
     on the attached backend against the same inputs the decode uses.
 
-    impl: "auto" (consult the measured table), "xla" (clamp+roll+mask —
-    vmappable, the safe fallback), "dynwin" (Pallas DMA kernel).
+    impl: "auto" (consult the measured table), "xla" (lax.cond fast
+    slice / slow clamp+roll+mask — the safe fallback), "xla_slow"
+    (the slow formulation unconditionally: for vmapped decodes, where
+    vmap turns the cond into a select that runs both branches),
+    "dynwin" (Pallas DMA kernel).
     """
     S, T = iq.shape
     if impl == "auto":
@@ -126,18 +129,41 @@ def extract_payload(
         from rub_mimo_tpu.kernels.dynwin import dynamic_window
 
         return dynamic_window(iq, cstart, plen)
-    # XLA formulation: slice at a start clamped so the window always
-    # fits, roll the clamp shortfall back out, zero-mask past-the-end
-    # positions (pad + dynamic_slice and element-level gathers both
-    # lower to payload-sized while loops / 30 ms gathers — see decode)
+    # XLA formulation.  FAST branch (the overwhelmingly common case —
+    # the window sits fully inside the capture): one plain
+    # dynamic_slice, two HBM passes, nothing else.  SLOW branch (the
+    # window starts before 0 or runs past T): slice at a start clamped
+    # so the window always fits, roll the clamp shortfall back out,
+    # zero-mask out-of-capture positions.  The roll + mask lower to
+    # while loops carrying payload-sized buffers (~1.2 ms at the
+    # reference operating point), so lax.cond keeps them off the hot
+    # path instead of paying them on every decode.  (pad +
+    # dynamic_slice and element-level gathers are worse still — see
+    # decode.)
     if T >= plen:
-        s0 = jnp.minimum(cstart, T - plen).astype(jnp.int32)
-        shortfall = (cstart - s0).astype(jnp.int32)  # 0 unless at the end
-        payload = jax.lax.dynamic_slice(iq, (jnp.int32(0), s0), (S, plen))
-        payload = jnp.roll(payload, -shortfall, axis=-1)
-    else:  # capture shorter than the payload span: pad right once
-        payload = jnp.pad(iq, ((0, 0), (0, plen - T)))
-        payload = jnp.roll(payload, -jnp.clip(cstart, 0, plen), axis=-1)
+        def _fast(_):
+            s0 = jnp.clip(cstart, 0, T - plen).astype(jnp.int32)
+            return jax.lax.dynamic_slice(
+                iq, (jnp.int32(0), s0), (S, plen)
+            )
+
+        def _slow(_):
+            s0 = jnp.minimum(cstart, T - plen).astype(jnp.int32)
+            shortfall = (cstart - s0).astype(jnp.int32)
+            payload = jax.lax.dynamic_slice(
+                iq, (jnp.int32(0), s0), (S, plen)
+            )
+            payload = jnp.roll(payload, -shortfall, axis=-1)
+            k = jnp.arange(plen, dtype=jnp.int32)[None, :]
+            return jnp.where(cstart + k < T, payload, 0.0)
+
+        if impl == "xla_slow":
+            return _slow(None)
+        fits = (cstart >= 0) & (cstart + plen <= T)
+        return jax.lax.cond(fits, _fast, _slow, operand=None)
+    # capture shorter than the payload span: pad right once
+    payload = jnp.pad(iq, ((0, 0), (0, plen - T)))
+    payload = jnp.roll(payload, -jnp.clip(cstart, 0, plen), axis=-1)
     # zero everything at capture position >= T (past the capture)
     k = jnp.arange(plen, dtype=jnp.int32)[None, :]
     return jnp.where(cstart + k < T, payload, 0.0)
@@ -396,10 +422,13 @@ def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):
 
     @functools.partial(jax.jit, static_argnames=())
     def _decode_batch(iq_batch):
+        # coarse_full / xla_slow: the non-cond formulations — vmap turns
+        # lax.cond into a both-branches select, so the single-capture
+        # fast paths would be pure overhead under a batch axis
         return jax.vmap(
             lambda iq: decode(iq, cfg, keep_debug=False,
-                              mf_method=mf_method, sync_impl="coarse",
-                              window_impl="xla")
+                              mf_method=mf_method, sync_impl="coarse_full",
+                              window_impl="xla_slow")
         )(iq_batch)
 
     return _decode_batch

@@ -117,6 +117,48 @@ def _metric_from_slice(win: jax.Array, M: int):
     return sc_metric(win, M, block=win.shape[-1])
 
 
+def _synchronize_coarse_prefix(
+    x: jax.Array, cfg: ModemConfig, block: int
+) -> SyncResult:
+    """Early-exit wrapper around the coarse scan: run it on a static
+    PREFIX of the capture first and only fall through to the full-
+    capture scan (lax.cond — the expensive branch never executes at
+    runtime) when the prefix shows no confident fire.
+
+    The fire condition is causal and local, so a fire found at
+    t* < Tpre - margin inside the prefix IS the global first fire —
+    everything the result carries (run starts, corr at t*) is computed
+    from samples at or before t*.  Sync typically fires within the
+    first ~10k samples of a multi-million-sample capture (the TX burst
+    leads the payload), so sync cost drops from O(T) to O(Tpre).
+    Fires inside the margin band are re-derived by the full scan to
+    keep boundary semantics identical."""
+    S, T = x.shape
+    margin = 2 * cfg.M + 2 * cfg.cp_len
+    Tpre = max(1 << 18, 8 * margin)
+    if Tpre + margin >= T:
+        return _synchronize_coarse(x, cfg, block)
+    pre = _synchronize_coarse(x[:, :Tpre], cfg, block)
+    ok = pre.synced & (pre.sync_sample < Tpre - margin)
+
+    def use_pre(_):
+        return (pre.synced, pre.sync_sample, pre.sync_index,
+                pre.plateau_start, pre.plateau_end, pre.cfo_hat)
+
+    def full(_):
+        r = _synchronize_coarse(x, cfg, block)
+        return (r.synced, r.sync_sample, r.sync_index,
+                r.plateau_start, r.plateau_end, r.cfo_hat)
+
+    synced, t_o, si, st, pe, cfo = jax.lax.cond(
+        ok, use_pre, full, operand=None
+    )
+    return SyncResult(
+        synced=synced, sync_sample=t_o, sync_index=si,
+        plateau_start=st, plateau_end=pe, metric=None, cfo_hat=cfo,
+    )
+
+
 def _synchronize_coarse(
     x: jax.Array, cfg: ModemConfig, block: int
 ) -> SyncResult:
@@ -364,8 +406,14 @@ def synchronize(
 
         impl = best_impl("sync", jax.default_backend())
     use_kernel = impl == "pallas"
-    if not use_kernel and not keep_metric and impl in ("auto", "coarse"):
+    if impl == "coarse_full" and not keep_metric:
+        # plain coarse without the prefix early-exit: for vmapped
+        # (batched) decodes, where vmap turns the prefix's lax.cond
+        # into a select that runs BOTH branches — the prefix would be
+        # pure overhead there
         return _synchronize_coarse(x, cfg, block)
+    if not use_kernel and not keep_metric and impl in ("auto", "coarse"):
+        return _synchronize_coarse_prefix(x, cfg, block)
     if use_kernel:
         from rub_mimo_tpu.kernels.sc_sync import sc_sync_fused
 
