@@ -124,10 +124,16 @@ def main():
     ap.add_argument("--check", action="store_true",
                     help="instead of the throughput bench: run every "
                          "backend-dispatched impl (window grab, sync impl, "
-                         "matched-filter method) compiled on the attached "
-                         "backend, assert equality, and write per-impl "
-                         "timings to rub_mimo_tpu/data/impl_timings.json — "
-                         "the table the 'auto' dispatches consult")
+                         "matched-filter method) inside the full decode "
+                         "compiled on the attached backend, assert "
+                         "equality, and write per-impl timings to "
+                         "rub_mimo_tpu/data/impl_timings.json — the table "
+                         "the 'auto' dispatches consult")
+    ap.add_argument("--check-retry", action="store_true",
+                    help="with --check: re-attempt impls whose previous "
+                         "run is recorded as a compile/runtime error "
+                         "(skipped by default — a failing remote compile "
+                         "costs ~10 min per attempt)")
     args = ap.parse_args()
 
     import jax
@@ -150,7 +156,8 @@ def main():
 
         results = impl_check.run_check(frames=args.frames,
                                        iters=args.iters,
-                                       verbose=args.verbose)
+                                       verbose=args.verbose,
+                                       retry_failed=args.check_retry)
         print(json.dumps(results), flush=True)
         return
 

@@ -33,17 +33,20 @@ ROWS = [
     ("guard_band_pilots", "PARITY #16 (compiled-out allocator, framing.cc:956-997)",
      SMALL + ["--mode", "rx_zf", "--config", "__GUARD__"]),
     ("fec_conv_k7", "new capability: conv K=7 + soft Viterbi",
-     SMALL + ["--fec", "conv_k7", "--snr", "14", "--modulation", "qpsk"]),
+     SMALL + ["--fec", "conv_k7", "--snr", "14", "--modulation", "qpsk",
+              "--sync-fallback"]),
     ("ml_detector", "new capability: joint ML lattice detection",
-     SMALL + ["--detector", "ml", "--modulation", "qpsk", "--snr", "12"]),
+     SMALL + ["--detector", "ml", "--modulation", "qpsk", "--snr", "12",
+              "--sync-fallback"]),
     ("mmse_detector", "detector=MMSE (reference: ZF only)",
      SMALL + ["--detector", "mmse"]),
     ("sfo_correction", "PARITY #24-26 class: +100ppm SFO estimated+corrected",
-     SMALL + ["--sfo-ppm", "100", "--sfo-correct", "--frames", "64"]),
+     SMALL + ["--sfo-ppm", "100", "--sfo-correct", "--frames", "64",
+              "--modulation", "qpsk"]),
     ("cfo_correction", "reference FIXME framing.cc:486: CFO corrected",
      SMALL + ["--cfo", "0.21", "--correct-cfo"]),
     ("siso_mode", "SISO path (config.h:89-91, framing.cc:508-533)",
-     SMALL + ["--mode", "siso", "--num_streams", "1"]),
+     SMALL + ["--mode", "siso"]),
     ("alamouti_stbc", "mode enum types.h:21-26 (implemented, ref stub)",
      SMALL + ["--mode", "alamouti", "--modulation", "qpsk"]),
     ("tx_beamforming", "empty namespace framing.h:216 -> working closed loop",
@@ -57,11 +60,11 @@ def guard_config(tmpdir: str) -> str:
 
     from rub_mimo_tpu.config import ModemConfig
 
-    cfg = ModemConfig(M=256, cp_len=32, num_access_codes=6, pid_max=32,
-                      use_all_carriers=False)
+    cfg = ModemConfig(num_subcarriers=256, cp_len=32, num_access_codes=6,
+                      pid_max=32, use_all_carriers=False)
     path = os.path.join(tmpdir, "guard.json")
     with open(path, "w") as f:
-        json.dump(cfg.to_dict(), f)
+        f.write(cfg.to_json())
     return path
 
 
@@ -87,11 +90,19 @@ def main() -> int:
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=args.timeout, cwd="/root/repo")
             wall = time.time() - t0
+            # the CLI prints one or more indented multi-line JSON
+            # reports (--precoded prints baseline + precoded): take the
+            # LAST parseable object
             line = None
-            for ln in p.stdout.splitlines():
-                ln = ln.strip()
-                if ln.startswith("{"):
-                    line = json.loads(ln)
+            b = p.stdout.rfind("}")
+            starts = [i for i, c in enumerate(p.stdout[: b + 1])
+                      if c == "{"]
+            for a in starts:
+                try:
+                    line = json.loads(p.stdout[a: b + 1])
+                    break
+                except ValueError:
+                    continue
             if line is None:
                 row = {"capability": name, "ok": False, "wall_s": round(wall, 1),
                        "error": (p.stderr or p.stdout)[-300:]}

@@ -1,23 +1,26 @@
 """On-backend implementation self-check: equality + timing for every
-backend-dispatched implementation pair.
+backend-dispatched implementation, measured IN CONTEXT.
 
 Run via ``bench.py --check``.  For each dispatch point (the payload
 window grab, the S&C sync impl, the matched-filter method) every
-candidate implementation is run COMPILED on the attached backend against
-the same operating-point inputs the decode uses; outputs are asserted
-equal to the safe-fallback impl's, and per-impl sustained device
-milliseconds are written to the committed table
-``rub_mimo_tpu/data/impl_timings.json`` that the ``"auto"`` dispatches
-consult (utils.impl_select).  An impl that fails equality is recorded
-with ``equal: false`` and can never win an auto dispatch; an impl that
-is slow is recorded slow and loses on measurement.  This is the
-structural fix for round 2's shipped 70x window regression (BENCH_r02):
-no hardcoded backend branch can route the decode through an unmeasured
-kernel again.
+candidate implementation is run COMPILED on the attached backend
+**inside the full decode** at the reference operating point — stage-
+standalone timings proved misleading on the tunneled attachment
+(per-dispatch overhead of the same order as the stage itself, and some
+standalone programs wedge the remote compiler), while the full-decode
+sustained time is exactly the quantity the ``"auto"`` dispatches should
+minimize.  Results go to the committed table
+``rub_mimo_tpu/data/impl_timings.json`` consumed by utils.impl_select:
+an impl that fails equality is recorded ``equal: false`` and can never
+win an auto dispatch; an impl that is slow loses on measurement.  This
+is the structural fix for round 2's shipped 70x window regression
+(BENCH_r02): no hardcoded backend branch can route the decode through
+an unmeasured kernel again.
 
-Pallas candidates ("dynwin", "pallas" sync) are only measured on TPU —
-interpret mode is not a measurement and non-TPU backends never dispatch
-to them anyway.
+Impls whose previous run is recorded as a compile/runtime ``error`` are
+skipped by default (a failing remote compile can take ~10 minutes to
+come back); pass ``retry_failed=True`` (``bench.py --check-retry``)
+after fixing one.
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ def _hard_sync(out):
 
     from rub_mimo_tpu.utils.transfer import to_host
 
-    leaves = list(jax.tree_util.tree_leaves(out))
+    leaves = [l for l in jax.tree_util.tree_leaves(out) if l is not None]
     return float(np.asarray(to_host(_reducer()(leaves))))
 
 
@@ -114,16 +117,16 @@ def _equal(a_tree, b_tree, *, exact: bool) -> bool:
 
 
 def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
-              write: bool = True) -> dict:
-    """Measure + equality-check every dispatched impl on the attached
-    backend; merge results into the committed table and return them."""
+              write: bool = True, retry_failed: bool = False) -> dict:
+    """Measure + equality-check every dispatched impl, each inside the
+    full jit-compiled decode on the attached backend; merge results into
+    the committed table and return them."""
     import jax
     import jax.numpy as jnp
 
     from rub_mimo_tpu.config import ModemConfig
     from rub_mimo_tpu.io import simulator
     from rub_mimo_tpu.pipeline import rx
-    from rub_mimo_tpu.sync import matched_filter, schmidl_cox
     from rub_mimo_tpu.utils import impl_select
 
     backend = jax.default_backend()
@@ -134,7 +137,11 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
     capture = jax.device_put(jnp.asarray(capture))
     S, T = capture.shape
 
-    results: dict = {}
+    try:
+        with open(impl_select.table_path()) as f:
+            prev = json.load(f).get(backend, {})
+    except (OSError, ValueError):
+        prev = {}
 
     def log(msg):
         if verbose:
@@ -142,90 +149,62 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
 
             print(msg, file=sys.stderr, flush=True)
 
-    # ---- shared stage inputs: sync point + estimation region ----
-    sync = jax.jit(
-        lambda x: schmidl_cox.synchronize(x, cfg, impl="coarse")
-    )(capture)
-    sync_index = sync.sync_index
-    region = jax.jit(
-        lambda x, si: rx._extract_region(x, si, cfg)
-    )(capture, sync_index)
+    fb = impl_select.FALLBACKS
 
-    # ---- point: payload window grab (the r02 regression site) ----
-    plen = cfg.pid_max * cfg.symbol_len
-    # representative cstart: unaligned, mid-capture, like a real decode's
-    cstart = (jnp.clip(sync_index, 0, T) + 41 * cfg.symbol_len + 77).astype(
-        jnp.int32
-    )
-    window_impls = ["xla"] + (["dynwin"] if on_tpu else [])
-    point = {}
-    ref = None
-    for impl in window_impls:
-        fn = jax.jit(
-            lambda x, s, impl=impl: rx.extract_payload(x, s, plen, impl=impl)
+    def mk_decode(window_impl=None, sync_impl=None, mf_method=None):
+        w = window_impl or fb["window"]
+        s = sync_impl or fb["sync"]
+        m = mf_method or fb["matched_filter"]
+        return jax.jit(
+            lambda x: rx.decode(x, cfg, window_impl=w, sync_impl=s,
+                                mf_method=m)
         )
-        try:
-            out = fn(capture, cstart)
-            if impl == impl_select.FALLBACKS["window"]:
-                ref = out
-            eq = ref is not None and _equal(out, ref, exact=True)
-            ms = _sustained_ms(fn, (capture, cstart), iters)
-            point[impl] = {"device_ms": round(ms, 4), "equal": bool(eq)}
-        except Exception as e:  # a broken impl must be recorded, not fatal
-            point[impl] = {"device_ms": None, "equal": False,
-                           "error": f"{type(e).__name__}: {e}"[:200]}
-        log(f"window/{impl}: {point[impl]}")
-    results["window"] = point
 
-    # ---- point: S&C sync impl ----
-    sync_impls = ["coarse", "xla"] + (["pallas"] if on_tpu else [])
-    point = {}
-    ref = None
-    for impl in sync_impls:
-        fn = jax.jit(
-            lambda x, impl=impl: schmidl_cox.synchronize(x, cfg, impl=impl)
-        )
-        try:
-            r = fn(capture)
-            # compare the integer decisions (synced / t* / index / starts)
-            # exactly; cfo is float and impl-order-sensitive — allclose
-            ints = (r.synced, r.sync_sample, r.sync_index,
-                    r.plateau_start, r.plateau_end)
-            if impl == impl_select.FALLBACKS["sync"]:
-                ref = (ints, r.cfo_hat)
-            eq = (
-                ref is not None
-                and _equal(ints, ref[0], exact=True)
-                and _equal(r.cfo_hat, ref[1], exact=False)
-            )
-            ms = _sustained_ms(fn, (capture,), iters)
-            point[impl] = {"device_ms": round(ms, 4), "equal": bool(eq)}
-        except Exception as e:
-            point[impl] = {"device_ms": None, "equal": False,
-                           "error": f"{type(e).__name__}: {e}"[:200]}
-        log(f"sync/{impl}: {point[impl]}")
-    results["sync"] = point
+    points = {
+        "window": (
+            ["xla"] + (["dynwin"] if on_tpu else []),
+            lambda impl: mk_decode(window_impl=impl),
+        ),
+        "sync": (
+            ["coarse", "xla"] + (["pallas"] if on_tpu else []),
+            lambda impl: mk_decode(sync_impl=impl),
+        ),
+        "matched_filter": (
+            ["xcorr", "direct"],
+            lambda impl: mk_decode(mf_method=impl),
+        ),
+    }
 
-    # ---- point: matched-filter method ----
-    point = {}
-    ref = None
-    for method in ["xcorr", "direct"]:
-        fn = jax.jit(
-            lambda w, m=method: matched_filter.search(w, cfg, method=m)
-        )
-        try:
-            r = fn(region)
-            idx = (r.s0_index, r.ac_index)
-            if method == impl_select.FALLBACKS["matched_filter"]:
-                ref = idx
-            eq = ref is not None and _equal(idx, ref, exact=True)
-            ms = _sustained_ms(fn, (region,), iters)
-            point[method] = {"device_ms": round(ms, 4), "equal": bool(eq)}
-        except Exception as e:
-            point[method] = {"device_ms": None, "equal": False,
-                             "error": f"{type(e).__name__}: {e}"[:200]}
-        log(f"matched_filter/{method}: {point[method]}")
-    results["matched_filter"] = point
+    results: dict = {}
+    for point, (impls, mk) in points.items():
+        entry: dict = {}
+        ref = None
+        for impl in impls:
+            old = prev.get(point, {}).get(impl, {})
+            if old.get("error") and not retry_failed:
+                # a failing remote compile costs ~10 min per attempt;
+                # carry the failure forward until retry_failed
+                entry[impl] = dict(old, skipped="carried forward; rerun "
+                                   "with --check-retry after a fix")
+                log(f"{point}/{impl}: skipped (previous error carried)")
+                continue
+            fn = mk(impl)
+            try:
+                r = fn(capture)
+                # integer decisions only: floats (rx_sig, G) can differ
+                # in ulps between mathematically equal formulations
+                cmp_tree = (r.synced, r.sync_index, r.sync_sample,
+                            r.ac_index, r.symbol_valid, r.rx_data)
+                if impl == fb[point]:
+                    ref = cmp_tree
+                eq = ref is not None and _equal(cmp_tree, ref, exact=True)
+                ms = _sustained_ms(fn, (capture,), iters)
+                entry[impl] = {"decode_ms": round(ms, 4), "equal": bool(eq)}
+            except Exception as e:  # a broken impl is recorded, not fatal
+                entry[impl] = {"decode_ms": None, "equal": False,
+                               "error": f"{type(e).__name__}: {e}"[:200]}
+            log(f"{point}/{impl}: {entry[impl]}")
+        results[point] = entry
 
     if write:
         path = impl_select.table_path()
@@ -236,10 +215,9 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
             table = {}
         table[backend] = results
         table.setdefault("_meta", {})[backend] = {
-            "method": "sustained_wall (fetch-backed barrier)",
-            "note": "absolute ms include per-dispatch tunnel overhead "
-                    "(~1-3 ms on the axon attachment); RELATIVE ordering "
-                    "within a dispatch point is what auto selection uses",
+            "method": "sustained_wall of the FULL decode with the impl "
+                      "substituted (fetch-backed barrier); relative "
+                      "ordering within a point drives auto selection",
             "frames": frames,
             "iters": iters,
             "capture_shape": [int(S), int(T)],

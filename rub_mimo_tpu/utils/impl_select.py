@@ -69,7 +69,7 @@ def best_impl(point: str, backend: str) -> str:
     for impl, rec in entry.items():
         if not isinstance(rec, dict) or not rec.get("equal", False):
             continue
-        ms = rec.get("device_ms")
+        ms = rec.get("decode_ms", rec.get("device_ms"))
         if ms is None:
             continue
         if best_ms is None or ms < best_ms:
