@@ -42,7 +42,8 @@ def make_sharded_batch_decoder(cfg: ModemConfig, mesh: Mesh,
         # (same reason make_batch_decoder forces both, pipeline/rx.py)
         return jax.vmap(
             lambda iq: rx_mod.decode(iq, cfg, sync_impl="coarse_full",
-                                     window_impl="xla_slow")
+                                     window_impl="xla_slow",
+                                     cpstrip_impl="xla")
         )(iq_batch)
 
     return _decode_batch

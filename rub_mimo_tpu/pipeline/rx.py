@@ -114,11 +114,15 @@ def extract_payload(
     named function so ``bench.py --check`` can time every impl compiled
     on the attached backend against the same inputs the decode uses.
 
-    impl: "auto" (consult the measured table), "xla" (lax.cond fast
-    slice / slow clamp+roll+mask — the safe fallback), "xla_slow"
-    (the slow formulation unconditionally: for vmapped decodes, where
-    vmap turns the cond into a select that runs both branches),
-    "dynwin" (Pallas DMA kernel).
+    impl: "auto" (consult the measured table), "xla_pad" (pad both ends
+    by plen once, then ONE plain dynamic_slice — branch-free, exact
+    windowcf semantics for every cstart), "xla" (lax.cond fast slice /
+    slow clamp+roll+mask — the safe fallback; NOTE the round-3 profiler
+    trace showed XLA:TPU executing the slow branch's roll while-loops on
+    every run despite the cond, ~1.4 ms/decode, which is what xla_pad
+    eliminates), "xla_slow" (the slow formulation unconditionally: for
+    vmapped decodes, where vmap turns the cond into a select that runs
+    both branches), "dynwin" (Pallas DMA kernel).
     """
     S, T = iq.shape
     if impl == "auto":
@@ -129,6 +133,17 @@ def extract_payload(
         from rub_mimo_tpu.kernels.dynwin import dynamic_window
 
         return dynamic_window(iq, cstart, plen)
+    if impl == "xla_pad":
+        # windowcf read-zeros semantics with NO data-dependent control
+        # flow: iq embedded in a zero sea of plen each side, so the
+        # window at any cstart in [-plen, T] is a plain in-range slice,
+        # and every cstart outside that range lands (via the clip) on an
+        # all-zero span — exactly the reference's zero-initialized ring.
+        padded = jnp.pad(iq, ((0, 0), (plen, plen)))
+        start = (jnp.clip(cstart, -plen, T) + plen).astype(jnp.int32)
+        return jax.lax.dynamic_slice(
+            padded, (jnp.int32(0), start), (S, plen)
+        )
     # XLA formulation.  FAST branch (the overwhelmingly common case —
     # the window sits fully inside the capture): one plain
     # dynamic_slice, two HBM passes, nothing else.  SLOW branch (the
@@ -148,25 +163,103 @@ def extract_payload(
             )
 
         def _slow(_):
-            s0 = jnp.minimum(cstart, T - plen).astype(jnp.int32)
+            # clip BOTH ends (dynamic_slice clamps internally; an
+            # unclipped negative s0 would desync the roll from the
+            # actual slice start) and mask both out-of-capture sides
+            s0 = jnp.clip(cstart, 0, T - plen).astype(jnp.int32)
             shortfall = (cstart - s0).astype(jnp.int32)
             payload = jax.lax.dynamic_slice(
                 iq, (jnp.int32(0), s0), (S, plen)
             )
             payload = jnp.roll(payload, -shortfall, axis=-1)
             k = jnp.arange(plen, dtype=jnp.int32)[None, :]
-            return jnp.where(cstart + k < T, payload, 0.0)
+            p = cstart + k
+            return jnp.where((p >= 0) & (p < T), payload, 0.0)
 
         if impl == "xla_slow":
             return _slow(None)
         fits = (cstart >= 0) & (cstart + plen <= T)
         return jax.lax.cond(fits, _fast, _slow, operand=None)
-    # capture shorter than the payload span: pad right once
+    # capture shorter than the payload span: pad right once.  The roll
+    # must honour NEGATIVE starts too (roll right), with the wrap junk
+    # masked by the p >= 0 side of the range check.
     payload = jnp.pad(iq, ((0, 0), (0, plen - T)))
-    payload = jnp.roll(payload, -jnp.clip(cstart, 0, plen), axis=-1)
-    # zero everything at capture position >= T (past the capture)
+    payload = jnp.roll(payload, -jnp.clip(cstart, -plen, plen), axis=-1)
     k = jnp.arange(plen, dtype=jnp.int32)[None, :]
-    return jnp.where(cstart + k < T, payload, 0.0)
+    p = cstart + k
+    return jnp.where((p >= 0) & (p < T), payload, 0.0)
+
+
+def strip_cp(
+    payload: jax.Array,
+    n_sym: int,
+    symbol_len: int,
+    cp_len: int,
+    impl: str = "auto",
+) -> jax.Array:
+    """Per-symbol CP strip of the flat payload:
+    ``payload.reshape(S, n_sym, symbol_len)[:, :, cp_len:]``
+    (framing.cc:558).
+
+    Named (like extract_payload) so ``bench.py --check`` can time every
+    impl compiled on the attached backend.  impl: "auto" (consult the
+    measured table), "xla" (reshape + slice — XLA:TPU lowers the
+    non-128-multiple reshape to a per-stream detile/retile while-loop,
+    ~0.7 ms at the reference operating point, but it is the safe
+    fallback and vmaps cleanly), "xla128" (tile-friendly formulation:
+    per re/im plane, group symbols into superblocks whose f32 length IS
+    a multiple of the 128-lane tile — that reshape is layout-free —
+    then peel each in-block symbol with a static lane-offset slice,
+    which XLA copies without relayout; ~6x less device time than the
+    reshape, measured standalone), "pallas" (block-copy kernel,
+    kernels.cp_strip — measured 50x SLOWER: its complex handling rides
+    a c64->interleaved-f32 .view(), which this split-plane backend
+    lowers to a scalarized interleave; kept as the recorded
+    counterexample)."""
+    if impl == "auto":
+        from rub_mimo_tpu.utils.impl_select import best_impl
+
+        impl = best_impl("cpstrip", jax.default_backend())
+    if impl == "pallas":
+        from rub_mimo_tpu.kernels.cp_strip import cp_strip
+
+        return cp_strip(payload, n_sym, symbol_len, cp_len,
+                        interpret=jax.default_backend() != "tpu")
+    S = payload.shape[0]
+    M = symbol_len - cp_len
+    if impl == "xla128":
+        import math
+
+        # NO complex<->interleaved-f32 views: this backend stores
+        # complex64 as SPLIT re/im planes (X64Split custom calls at jit
+        # boundaries), so a .view(jnp.float32) is a full scalarized
+        # interleave — measured ~240 ms alone at the operating point,
+        # the true culprit behind both the dynwin (BENCH_r02) and
+        # cpstrip-pallas regressions.  Operate per plane instead.
+        G = 128 // math.gcd(symbol_len, 128)  # symbols per 128-lane-
+        nsb = -(-n_sym // G)                  # aligned supergroup (16)
+        need = nsb * G * symbol_len
+
+        def plane(q):  # [S, plen] f32 -> [S, n_sym, M]
+            if q.shape[1] < need:
+                q = jnp.pad(q, ((0, 0), (0, need - q.shape[1])))
+            elif q.shape[1] > need:
+                q = q[:, :need]
+            q3 = q.reshape(S, nsb, G * symbol_len)  # minor % 128 == 0
+            xt = jnp.stack(
+                [q3[:, :, g * symbol_len + cp_len : (g + 1) * symbol_len]
+                 for g in range(G)],
+                axis=2,
+            )                                        # [S, nsb, G, M]
+            return xt.reshape(S, nsb * G, M)[:, :n_sym]
+
+        if jnp.issubdtype(payload.dtype, jnp.complexfloating):
+            return jax.lax.complex(
+                plane(jnp.real(payload)), plane(jnp.imag(payload))
+            )
+        return plane(payload)
+    p = payload[:, : n_sym * symbol_len].reshape(S, n_sym, symbol_len)
+    return p[:, :, cp_len:]
 
 
 def decode(
@@ -177,6 +270,7 @@ def decode(
     mf_method: str = "xcorr",
     sync_impl: str = "auto",
     window_impl: str = "auto",
+    cpstrip_impl: str = "auto",
 ) -> DecodeResult:
     """Decode a whole capture. iq: [num_streams, T] complex64.
 
@@ -257,7 +351,10 @@ def decode(
         cfo_total = coarse_cfo + eps_s0 + eps
 
     # ---- LS channel estimate ----
-    G = ls.estimate_channel(region, mf.ac_index, cfg)
+    # joint timing broadcasts one global argmax, so the 80 code windows
+    # form a uniform symbol_len-pitch grid -> static-slice extraction
+    # (the per-window dynamic-slice scan was ~0.3 ms of the TPU decode)
+    G = ls.estimate_channel(region, mf.ac_index, cfg, uniform=joint)
     if cfg.smooth_channel:
         from rub_mimo_tpu.estimate import smooth
 
@@ -282,8 +379,10 @@ def decode(
     # window origin is sync_index - symbol_len with sync_index >= 0)
     cstart = jnp.clip(sync_index, 0, T) + decode_start - cfg.symbol_len
     payload = extract_payload(iq, cstart, plen, impl=window_impl)
-    payload = payload.reshape(S, n_sym, cfg.symbol_len)
-    x_t = payload[:, :, cfg.cp_len :]  # CP strip (framing.cc:558)
+    # CP strip + symbol split (framing.cc:558) — impl-dispatched; the
+    # XLA reshape relayout was ~1/3 of the round-3 decode (see strip_cp)
+    x_t = strip_cp(payload, n_sym, cfg.symbol_len, cfg.cp_len,
+                   impl=cpstrip_impl)
     if cfg.correct_cfo:
         # the residual rotation was applied to the region copy only; the
         # payload needs the same ramp, whose phase reference is the
@@ -428,7 +527,7 @@ def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):
         return jax.vmap(
             lambda iq: decode(iq, cfg, keep_debug=False,
                               mf_method=mf_method, sync_impl="coarse_full",
-                              window_impl="xla_slow")
+                              window_impl="xla_slow", cpstrip_impl="xla")
         )(iq_batch)
 
     return _decode_batch

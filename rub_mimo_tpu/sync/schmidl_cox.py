@@ -118,7 +118,7 @@ def _metric_from_slice(win: jax.Array, M: int):
 
 
 def _synchronize_coarse_prefix(
-    x: jax.Array, cfg: ModemConfig, block: int
+    x: jax.Array, cfg: ModemConfig, block: int, interleaved: bool = False
 ) -> SyncResult:
     """Early-exit wrapper around the coarse scan: run it on a static
     PREFIX of the capture first and only fall through to the full-
@@ -137,8 +137,8 @@ def _synchronize_coarse_prefix(
     margin = 2 * cfg.M + 2 * cfg.cp_len
     Tpre = max(1 << 18, 8 * margin)
     if Tpre + margin >= T:
-        return _synchronize_coarse(x, cfg, block)
-    pre = _synchronize_coarse(x[:, :Tpre], cfg, block)
+        return _synchronize_coarse(x, cfg, block, interleaved)
+    pre = _synchronize_coarse(x[:, :Tpre], cfg, block, interleaved)
     ok = pre.synced & (pre.sync_sample < Tpre - margin)
 
     def use_pre(_):
@@ -146,7 +146,7 @@ def _synchronize_coarse_prefix(
                 pre.plateau_start, pre.plateau_end, pre.cfo_hat)
 
     def full(_):
-        r = _synchronize_coarse(x, cfg, block)
+        r = _synchronize_coarse(x, cfg, block, interleaved)
         return (r.synced, r.sync_sample, r.sync_index,
                 r.plateau_start, r.plateau_end, r.cfo_hat)
 
@@ -160,7 +160,7 @@ def _synchronize_coarse_prefix(
 
 
 def _synchronize_coarse(
-    x: jax.Array, cfg: ModemConfig, block: int
+    x: jax.Array, cfg: ModemConfig, block: int, interleaved: bool = False
 ) -> SyncResult:
     """Sync in ~3 passes over the capture instead of ~8.
 
@@ -206,23 +206,56 @@ def _synchronize_coarse(
     # the D-block sums ride the MXU as a [*, D] x [D, 1] matmul — a plain
     # reshape().sum(-1) lowers to while-loops carrying full-capture
     # buffers on TPU (measured ~0.17 ms each)
-    ones_d = jnp.ones((D,), jnp.float32)
     prod = jnp.conj(x[:, : n_full - M2]) * x[:, M2:n_full]
     # left-pad (not concatenate-with-zeros): fresh zeros confuse sharding
     # propagation when decode runs inside a sharded-batch jit
-    prod = jnp.pad(prod, ((0, 0), (M2, 0))).reshape(S, nD, D)
-    bs_p = (
-        jnp.einsum("snd,d->sn", jnp.real(prod), ones_d,
-                   preferred_element_type=jnp.float32)
-        + 1j * jnp.einsum("snd,d->sn", jnp.imag(prod), ones_d,
-                          preferred_element_type=jnp.float32)
-    ).astype(x.dtype)                                  # [S, nD] complex
-    e_in = (jnp.real(x[:, :n_full]) ** 2
-            + jnp.imag(x[:, :n_full]) ** 2).astype(jnp.float32)
-    bs_e = jnp.einsum(
-        "snd,d->sn", e_in.reshape(S, nD, D), ones_d,
-        preferred_element_type=jnp.float32,
-    )                                                  # [S, nD]
+    prod = jnp.pad(prod, ((0, 0), (M2, 0)))
+    if interleaved:
+        # tile-aligned formulation ("coarse128"): the [S, nD, D] reshape
+        # below has a sub-tile minor dim (D <= 64), which XLA:TPU lowers
+        # to a detile/retile while-loop pair per plane — ~0.07 ms per
+        # reshape per million samples, and the always-executed sync
+        # PREFIX pays three of them.  Instead reshape each f32 plane to
+        # chunks of 128 blocks (minor dim 128*D, a whole number of
+        # 128-lane tiles -> no relayout) and compute the 128 block sums
+        # of a chunk as ONE MXU matmul against a constant 0/1
+        # block-indicator matrix.  NO complex<->f32 views: this backend
+        # stores complex64 as split planes and a view is a scalarized
+        # interleave (measured ~240 ms — the dynwin/BENCH_r02 culprit).
+        chunk = 128 * D
+        nDp = -(-nD // 128) * 128
+        Bm = jnp.asarray(
+            (np.arange(chunk)[:, None] // D
+             == np.arange(128)[None, :]).astype(np.float32)
+        )
+
+        def bsum(q):  # [S, n_full] f32 -> [S, nD] per-block sums
+            q = jnp.pad(q, ((0, 0), (0, nDp * D - n_full)))
+            out = jnp.einsum(
+                "sgk,kj->sgj", q.reshape(S, nDp // 128, chunk), Bm,
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(S, nDp)[:, :nD]
+
+        bs_p = jax.lax.complex(bsum(jnp.real(prod)), bsum(jnp.imag(prod)))
+        e_in = (jnp.real(x[:, :n_full]) ** 2
+                + jnp.imag(x[:, :n_full]) ** 2).astype(jnp.float32)
+        bs_e = bsum(e_in)
+    else:
+        ones_d = jnp.ones((D,), jnp.float32)
+        prod = prod.reshape(S, nD, D)
+        bs_p = (
+            jnp.einsum("snd,d->sn", jnp.real(prod), ones_d,
+                       preferred_element_type=jnp.float32)
+            + 1j * jnp.einsum("snd,d->sn", jnp.imag(prod), ones_d,
+                              preferred_element_type=jnp.float32)
+        ).astype(x.dtype)                                  # [S, nD] complex
+        e_in = (jnp.real(x[:, :n_full]) ** 2
+                + jnp.imag(x[:, :n_full]) ** 2).astype(jnp.float32)
+        bs_e = jnp.einsum(
+            "snd,d->sn", e_in.reshape(S, nD, D), ones_d,
+            preferred_element_type=jnp.float32,
+        )                                                  # [S, nD]
 
     def _mov(bs, k):
         cs = jnp.cumsum(bs, axis=-1)
@@ -406,14 +439,22 @@ def synchronize(
 
         impl = best_impl("sync", jax.default_backend())
     use_kernel = impl == "pallas"
-    if impl == "coarse_full" and not keep_metric:
+    if impl in ("coarse_full", "coarse_full128") and not keep_metric:
         # plain coarse without the prefix early-exit: for vmapped
         # (batched) decodes, where vmap turns the prefix's lax.cond
         # into a select that runs BOTH branches — the prefix would be
         # pure overhead there
-        return _synchronize_coarse(x, cfg, block)
-    if not use_kernel and not keep_metric and impl in ("auto", "coarse"):
-        return _synchronize_coarse_prefix(x, cfg, block)
+        return _synchronize_coarse(x, cfg, block,
+                                   impl == "coarse_full128")
+    if not use_kernel and not keep_metric and impl in (
+        "auto", "coarse", "coarse128"
+    ):
+        # coarse128: interleaved-f32 tile-aligned block sums (see
+        # _synchronize_coarse) — measured against "coarse" by
+        # ``bench.py --check``; float summation order differs, so it is
+        # a dispatched impl, not a silent replacement
+        return _synchronize_coarse_prefix(x, cfg, block,
+                                          impl == "coarse128")
     if use_kernel:
         from rub_mimo_tpu.kernels.sc_sync import sc_sync_fused
 

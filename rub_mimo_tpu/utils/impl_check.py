@@ -151,27 +151,33 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
 
     fb = impl_select.FALLBACKS
 
-    def mk_decode(window_impl=None, sync_impl=None, mf_method=None):
+    def mk_decode(window_impl=None, sync_impl=None, mf_method=None,
+                  cpstrip_impl=None):
         w = window_impl or fb["window"]
         s = sync_impl or fb["sync"]
         m = mf_method or fb["matched_filter"]
+        c = cpstrip_impl or fb["cpstrip"]
         return jax.jit(
             lambda x: rx.decode(x, cfg, window_impl=w, sync_impl=s,
-                                mf_method=m)
+                                mf_method=m, cpstrip_impl=c)
         )
 
     points = {
         "window": (
-            ["xla"] + (["dynwin"] if on_tpu else []),
+            ["xla", "xla_pad"] + (["dynwin"] if on_tpu else []),
             lambda impl: mk_decode(window_impl=impl),
         ),
         "sync": (
-            ["coarse", "xla"] + (["pallas"] if on_tpu else []),
+            ["coarse", "coarse128", "xla"] + (["pallas"] if on_tpu else []),
             lambda impl: mk_decode(sync_impl=impl),
         ),
         "matched_filter": (
             ["xcorr", "direct"],
             lambda impl: mk_decode(mf_method=impl),
+        ),
+        "cpstrip": (
+            ["xla", "xla128"] + (["pallas"] if on_tpu else []),
+            lambda impl: mk_decode(cpstrip_impl=impl),
         ),
     }
 

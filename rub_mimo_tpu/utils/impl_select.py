@@ -42,6 +42,7 @@ FALLBACKS = {
     "window": "xla",
     "sync": "coarse",
     "matched_filter": "xcorr",
+    "cpstrip": "xla",
 }
 
 
