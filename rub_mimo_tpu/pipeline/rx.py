@@ -359,7 +359,9 @@ def decode(
         from rub_mimo_tpu.estimate import smooth
 
         G = smooth.smooth_channel_estimate(G, cfg)
-    G_occ = G[occ_idx]  # [m_occ, rx, tx]
+    _occ_np = np.asarray(sctype.occupied_indices(p))
+    _all_occ = _occ_np.size == M and np.array_equal(_occ_np, np.arange(M))
+    G_occ = G if _all_occ else G[occ_idx]  # [m_occ, rx, tx]
 
     # ---- detector weights (shared across all pipelines) ----
     from rub_mimo_tpu.detect import weights as weights_mod
@@ -401,7 +403,10 @@ def decode(
         )
         x_t = x_t * rot[None, :, :]
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
-    Y = X[:, :, occ_idx]  # [S(rx), n_sym, m_occ]
+    # all-carriers allocations (the reference default) make the
+    # occupied-subcarrier gather an identity — skip it (the fused
+    # gather+transpose was ~0.2 ms of the TPU decode)
+    Y = X if _all_occ else X[:, :, occ_idx]  # [S(rx), n_sym, m_occ]
     Y = jnp.moveaxis(Y, 1, 0)  # [n_sym, S, m_occ]
 
     if cfg.mode == CommMode.ALAMOUTI:
