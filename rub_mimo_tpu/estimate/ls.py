@@ -63,6 +63,22 @@ def code_ffts(
     if uniform:
         sym = cfg.symbol_len
         n = n_codes * S  # distinct windows: rx-independent offsets
+        if not isinstance(offsets, jax.core.Tracer):
+            # guard the caller invariant whenever offsets are concrete
+            # (tests / eager callers); under jit the invariant is
+            # enforced structurally by matched_filter.finalize(joint=True)
+            off_np = np.asarray(offsets)
+            grid = off_np.reshape(-1)[0] + (
+                np.arange(n_codes)[:, None, None] * S
+                + np.arange(S)[None, None, :]
+            ) * sym
+            if not np.array_equal(off_np, np.broadcast_to(grid, off_np.shape)):
+                raise ValueError(
+                    "code_ffts(uniform=True) requires offsets on the "
+                    "joint-timing grid base + (code*S + tx)*symbol_len, "
+                    "identical across rx; got a non-uniform offset array "
+                    "(use uniform=False for per-code/bit_exact offsets)"
+                )
         base = offsets.reshape(-1)[0].astype(jnp.int32)
         span_len = (n - 1) * sym + M
         W = window.shape[-1]

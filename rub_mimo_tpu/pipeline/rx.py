@@ -292,7 +292,8 @@ def decode(
     M = cfg.M
     m_occ = cfg.M_occupied
     p = cfg.subcarrier_allocation()
-    occ_idx = jnp.asarray(sctype.occupied_indices(p))
+    _occ_np = np.asarray(sctype.occupied_indices(p))
+    occ_idx = jnp.asarray(_occ_np)
     T = iq.shape[-1]
 
     # ---- sync ----
@@ -359,7 +360,6 @@ def decode(
         from rub_mimo_tpu.estimate import smooth
 
         G = smooth.smooth_channel_estimate(G, cfg)
-    _occ_np = np.asarray(sctype.occupied_indices(p))
     _all_occ = _occ_np.size == M and np.array_equal(_occ_np, np.arange(M))
     G_occ = G if _all_occ else G[occ_idx]  # [m_occ, rx, tx]
 

@@ -118,7 +118,7 @@ def _metric_from_slice(win: jax.Array, M: int):
 
 
 def _synchronize_coarse_prefix(
-    x: jax.Array, cfg: ModemConfig, block: int, interleaved: bool = False
+    x: jax.Array, cfg: ModemConfig, block: int, tile_aligned: bool = False
 ) -> SyncResult:
     """Early-exit wrapper around the coarse scan: run it on a static
     PREFIX of the capture first and only fall through to the full-
@@ -137,8 +137,8 @@ def _synchronize_coarse_prefix(
     margin = 2 * cfg.M + 2 * cfg.cp_len
     Tpre = max(1 << 18, 8 * margin)
     if Tpre + margin >= T:
-        return _synchronize_coarse(x, cfg, block, interleaved)
-    pre = _synchronize_coarse(x[:, :Tpre], cfg, block, interleaved)
+        return _synchronize_coarse(x, cfg, block, tile_aligned)
+    pre = _synchronize_coarse(x[:, :Tpre], cfg, block, tile_aligned)
     ok = pre.synced & (pre.sync_sample < Tpre - margin)
 
     def use_pre(_):
@@ -146,7 +146,7 @@ def _synchronize_coarse_prefix(
                 pre.plateau_start, pre.plateau_end, pre.cfo_hat)
 
     def full(_):
-        r = _synchronize_coarse(x, cfg, block, interleaved)
+        r = _synchronize_coarse(x, cfg, block, tile_aligned)
         return (r.synced, r.sync_sample, r.sync_index,
                 r.plateau_start, r.plateau_end, r.cfo_hat)
 
@@ -160,7 +160,7 @@ def _synchronize_coarse_prefix(
 
 
 def _synchronize_coarse(
-    x: jax.Array, cfg: ModemConfig, block: int, interleaved: bool = False
+    x: jax.Array, cfg: ModemConfig, block: int, tile_aligned: bool = False
 ) -> SyncResult:
     """Sync in ~3 passes over the capture instead of ~8.
 
@@ -210,7 +210,7 @@ def _synchronize_coarse(
     # left-pad (not concatenate-with-zeros): fresh zeros confuse sharding
     # propagation when decode runs inside a sharded-batch jit
     prod = jnp.pad(prod, ((0, 0), (M2, 0)))
-    if interleaved:
+    if tile_aligned:
         # tile-aligned formulation ("coarse128"): the [S, nD, D] reshape
         # below has a sub-tile minor dim (D <= 64), which XLA:TPU lowers
         # to a detile/retile while-loop pair per plane — ~0.07 ms per
@@ -449,7 +449,7 @@ def synchronize(
     if not use_kernel and not keep_metric and impl in (
         "auto", "coarse", "coarse128"
     ):
-        # coarse128: interleaved-f32 tile-aligned block sums (see
+        # coarse128: tile-aligned f32-plane block sums (see
         # _synchronize_coarse) — measured against "coarse" by
         # ``bench.py --check``; float summation order differs, so it is
         # a dispatched impl, not a silent replacement
