@@ -1,0 +1,255 @@
+"""Fused payload tail: per-symbol FFT + ZF/MMSE equalize + hard demap in
+ONE Pallas kernel.
+
+Replaces the XLA tail of the decode (batched ``jnp.fft.fft`` + the
+unrolled equalize + the matmul/argmax demap — pipeline/rx.py payload
+stage; reference per-sample loop framing.cc:535-589) whose XLA lowering
+spends most of its time on layout copies: the round-4 profiler trace
+attributed ~0.87 ms to the FFT's internal mixed-radix relayouts, 0.48 ms
+to the equalize+demap fusion, and ~0.15 ms to the transposes between
+them, at the reference operating point (M=2048, 2 streams, 1000 frames).
+This kernel performs the same math tiled through VMEM so intermediates
+never touch HBM.
+
+Dataflow (per grid step, F = PACK*Q frames, all shapes 128-aligned —
+this toolchain's Mosaic backend crashes on ANY lane-unaligned slice, see
+docs/BENCHMARKS.md "Pallas compile findings"):
+
+  N = M = N1*128 subcarriers, PACK = 128//N1 frames packed per row group.
+
+  1. pack   R[(PACK*n1 + c), (128 q + n2)] = x[f=PACK*q+c][128 n1 + n2]
+            (sublane-only permutation of the input block)
+  2. stage1 A = (W_N1 (x) I_PACK) @ R      -- one full-width [128,128]
+            MXU matmul per re/im plane: PACK independent N1-point DFTs
+            ride the systolic array simultaneously
+  3. twiddle B = A * T,  T[(PACK*k1+c), n2] = exp(-2j pi k1 n2 / N)
+  4. stage2 C[:, 128q+k2] = sum_n2 B[:, 128q+n2] W128[n2, k2]
+            -- [128,128] MXU matmuls, full utilization
+            => C[(PACK*k1+c), (128 q+k2)] = X_{f}[k1 + N1*k2] * dft_norm
+  5. equalize  eq[out] = (sum_j W[sc,out,j] C[j]) * gain[sc]  with the
+            per-subcarrier constants pre-packed into [128,128] tiles
+            (framing.cc:570-585 algebra, identical contraction order to
+            detect/zf.py::equalize)
+  6. demap  32-way nearest-neighbour argmax on the VPU
+            (argmax_k Re(y)Re(c_k) + Im(y)Im(c_k) - |c_k|^2/2)
+  7. unpack + per-frame [k2,k1] transpose -> natural subcarrier order,
+            written as [S, F, M] blocks of rx_sig (planes) and rx_data.
+
+Used by pipeline/rx.decode via the "payload" dispatch point when the
+geometry gate holds (see ``supported``); measured + equality-gated by
+``bench.py --check`` like every other dispatched impl.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supported(M: int, m_occ: int, n_streams: int, arity: int) -> bool:
+    """Geometry gate for the fused kernel."""
+    if M != m_occ or M % 128:
+        return False
+    n1 = M // 128
+    if n1 not in (4, 8, 16, 32):
+        return False
+    if n_streams < 1 or n_streams > 4:
+        return False
+    return arity <= 64
+
+
+def _consts(M: int):
+    n1d = M // 128
+    pack = 128 // n1d
+    i = np.arange(n1d)
+    W16 = np.exp(-2j * np.pi * np.outer(i, i) / n1d)
+    n2 = np.arange(128)
+    W128 = np.exp(-2j * np.pi * np.outer(n2, n2) / 128)
+    TW = np.exp(-2j * np.pi * np.outer(i, n2) / M)  # [k1, n2]
+    L = np.zeros((128, 128), np.complex64)
+    for a in range(n1d):
+        for b in range(n1d):
+            for c in range(pack):
+                L[pack * a + c, pack * b + c] = W16[b, a]
+    T = np.repeat(TW, pack, axis=0)  # [128, 128]
+    return (
+        L.real.astype(np.float32), L.imag.astype(np.float32),
+        T.real.astype(np.float32), T.imag.astype(np.float32),
+        W128.real.astype(np.float32), W128.imag.astype(np.float32),
+    )
+
+
+def pack_tile(v: np.ndarray | jax.Array, M: int):
+    """Natural per-subcarrier vector [M] -> packed [128,128] tile:
+    tile[(PACK*k1 + c), k2] = v[k1 + N1*k2] (c-replicated)."""
+    n1d = M // 128
+    pack = 128 // n1d
+    V = jnp.transpose(jnp.reshape(v, (128, n1d)), (1, 0))  # [k1, k2]
+    return jnp.repeat(V, pack, axis=0)
+
+
+def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
+            er_ref, ei_ref, d_ref, *, S, M, cr, ci, cb):
+    """One grid step processes PACK frames: every tensor is a [128,128]
+    f32 tile — no lane-dim splits/merges, no tiles/concats (this
+    toolchain's Mosaic either crashes (HTTP 500) or compiles for
+    minutes on those; clean tile ops compile in seconds)."""
+    n1d = M // 128
+    pack = 128 // n1d
+
+    # FFT constants stacked in one [6,128,128] input: L, T, W128 planes
+    Lr_ = f_ref[0]
+    Li_ = f_ref[1]
+    Ttr = f_ref[2]
+    Tti = f_ref[3]
+    Vr_ = f_ref[4]
+    Vi_ = f_ref[5]
+
+    def pack_in(x):  # [pack, M] -> [128, 128] rows (pack*n1 + c)
+        x3 = x.reshape(pack, n1d, 128)
+        return jnp.transpose(x3, (1, 0, 2)).reshape(128, 128)
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # ---- FFT per rx stream ----
+    Cr = []
+    Ci = []
+    for s in range(S):
+        Rr = pack_in(xr_ref[s])
+        Ri = pack_in(xi_ref[s])
+        Ar = mm(Lr_, Rr) - mm(Li_, Ri)
+        Ai = mm(Lr_, Ri) + mm(Li_, Rr)
+        Br = Ar * Ttr - Ai * Tti
+        Bi = Ar * Tti + Ai * Ttr
+        Cr.append(mm(Br, Vr_) - mm(Bi, Vi_))
+        Ci.append(mm(Br, Vi_) + mm(Bi, Vr_))
+
+    gt = g_ref[...]
+
+    # ---- equalize + demap per output stream ----
+    for out in range(S):
+        ar = jnp.zeros((128, 128), jnp.float32)
+        ai = jnp.zeros((128, 128), jnp.float32)
+        for j in range(S):
+            wr = wr_ref[out, j]
+            wi = wi_ref[out, j]
+            ar = ar + (wr * Cr[j] - wi * Ci[j])
+            ai = ai + (wr * Ci[j] + wi * Cr[j])
+        ar = ar * gt
+        ai = ai * gt
+
+        best = jnp.full((128, 128), -np.inf, jnp.float32)
+        idx = jnp.zeros((128, 128), jnp.int32)
+        for k in range(len(cr)):
+            sc = ar * cr[k] + ai * ci[k] - cb[k]
+            take = sc > best
+            best = jnp.where(take, sc, best)
+            idx = jnp.where(take, k, idx)
+
+        # outputs in k1-major layout [k1, c(frame), k2] — a pure row
+        # split of the packed [(pack*k1 + c), k2] tile (legal in Mosaic,
+        # unlike lane-dim merges); XLA's epilogue transpose
+        # (0,2,3,1)+reshape to natural subcarrier order is then free
+        # (measured at baseline cost, vs ~0.3 ms/array for unpacking a
+        # row-packed 2D layout)
+        er_ref[out] = ar.reshape(n1d, pack, 128)
+        ei_ref[out] = ai.reshape(n1d, pack, 128)
+        d_ref[out] = idx.astype(jnp.int8).reshape(n1d, pack, 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "S", "n_sym", "table", "interpret"),
+)
+def _payload_fused(xr, xi, wtr, wti, gtile, *, M, S, n_sym, table,
+                   interpret):
+    n1d = M // 128
+    pack = 128 // n1d
+    # one grid step per PACK frames; pad n_sym to a multiple of PACK
+    npad = -(-n_sym // pack) * pack
+    if npad != n_sym:
+        padw = ((0, 0), (0, npad - n_sym), (0, 0))
+        xr = jnp.pad(xr, padw)
+        xi = jnp.pad(xi, padw)
+    nstep = npad // pack
+
+    t = np.asarray(table)
+    cr = tuple(np.float32(v) for v in t.real)
+    ci = tuple(np.float32(v) for v in t.imag)
+    cb = tuple(np.float32(v) for v in (np.abs(t) ** 2 / 2.0))
+    fft_consts = jnp.asarray(np.stack(_consts(M)))  # [6, 128, 128]
+
+    kern = functools.partial(_kernel, S=S, M=M, cr=cr, ci=ci, cb=cb)
+    xspec = pl.BlockSpec((S, pack, M), lambda i: (0, i, 0))
+    wspec = pl.BlockSpec((S, S, 128, 128), lambda i: (0, 0, 0, 0))
+    gspec = pl.BlockSpec((128, 128), lambda i: (0, 0))
+    fspec = pl.BlockSpec((6, 128, 128), lambda i: (0, 0, 0))
+    ospec = pl.BlockSpec((S, n1d, pack, 128), lambda i: (0, 0, i, 0))
+    er, ei, d = pl.pallas_call(
+        kern,
+        grid=(nstep,),
+        in_specs=[xspec, xspec, wspec, wspec, gspec, fspec],
+        out_specs=[ospec, ospec, ospec],
+        out_shape=[
+            jax.ShapeDtypeStruct((S, n1d, npad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((S, n1d, npad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((S, n1d, npad, 128), jnp.int8),
+        ],
+        interpret=interpret,
+    )(xr, xi, wtr, wti, gtile, fft_consts)
+
+    def unpack(t):
+        # k1-major [S, k1, f, k2] -> natural [S, npad, M], sc = n1d*k2+k1
+        return jnp.transpose(t, (0, 2, 3, 1)).reshape(S, npad, M)
+
+    # combine the planes BEFORE the relayout: one c64 transpose instead
+    # of two f32 ones; demap indices ride the relayout as int8 (4x less
+    # HBM traffic) and widen to the API int32 afterwards
+    sig = unpack(jax.lax.complex(er, ei))
+    d = unpack(d).astype(jnp.int32)
+    if npad != n_sym:
+        sig = sig[:, :n_sym]
+        d = d[:, :n_sym]
+    return sig, d
+
+
+def payload_fused(x_t: jax.Array, W: jax.Array, gain: jax.Array,
+                  table: np.ndarray, dft_norm: float,
+                  interpret: bool = False):
+    """x_t: [S, n_sym, M] complex64 CP-stripped payload symbols.
+    W: [M, out, rx] complex64, gain: [M] float32 (all-occupied geometry).
+    table: constellation points (numpy, static).
+
+    Returns (rx_sig [S, n_sym*M] complex64, rx_data [S, n_sym*M] int32),
+    matching  eq = (sum_j W[sc,out,j] X[j,sc]) * gain[sc]  with
+    X = fft(x_t) * dft_norm, demapped nearest-neighbour.
+    """
+    S, n_sym, M = x_t.shape
+    xr = jnp.real(x_t).astype(jnp.float32)
+    xi = jnp.imag(x_t).astype(jnp.float32)
+    # fold dft_norm into the equalizer gain (equalize is linear)
+    gl = (gain * jnp.float32(dft_norm)).astype(jnp.float32)
+    # packed per-sc tiles
+    wtr = jnp.stack([
+        jnp.stack([pack_tile(jnp.real(W[:, o, j]).astype(jnp.float32), M)
+                   for j in range(S)])
+        for o in range(S)
+    ])  # [out, rx, 128, 128]
+    wti = jnp.stack([
+        jnp.stack([pack_tile(jnp.imag(W[:, o, j]).astype(jnp.float32), M)
+                   for j in range(S)])
+        for o in range(S)
+    ])
+    gtile = pack_tile(gl, M)
+    sig, d = _payload_fused(
+        xr, xi, wtr, wti, gtile, M=M, S=S, n_sym=n_sym,
+        table=tuple(np.asarray(table).tolist()), interpret=interpret,
+    )
+    return sig.reshape(S, n_sym * M), d.reshape(S, n_sym * M)

@@ -262,6 +262,24 @@ def strip_cp(
     return p[:, :, cp_len:]
 
 
+def _payload_fused_applicable(cfg: ModemConfig, all_occ: bool) -> bool:
+    """Geometry/mode gate for the fused Pallas payload-tail kernel
+    (kernels.payload_fused): plain W/gain equalize + hard demap on an
+    all-occupied grid.  Everything else uses the XLA tail."""
+    from rub_mimo_tpu.kernels.payload_fused import supported
+
+    if not all_occ:
+        return False
+    if cfg.mode != CommMode.RX_ZF:
+        return False
+    if cfg.detector not in (Detector.ZF, Detector.MMSE):
+        return False
+    if cfg.track_channel or cfg.track_phase:
+        return False
+    table = constellation.table(cfg.modulation)
+    return supported(cfg.M, cfg.M_occupied, cfg.num_streams, len(table))
+
+
 def decode(
     iq: jax.Array,
     cfg: ModemConfig,
@@ -271,6 +289,7 @@ def decode(
     sync_impl: str = "auto",
     window_impl: str = "auto",
     cpstrip_impl: str = "auto",
+    payload_impl: str = "auto",
 ) -> DecodeResult:
     """Decode a whole capture. iq: [num_streams, T] complex64.
 
@@ -402,6 +421,41 @@ def decode(
             -2j * jnp.pi * (eps_s0 + eps) * wrel / np.float32(M)
         )
         x_t = x_t * rot[None, :, :]
+    if payload_impl == "auto":
+        from rub_mimo_tpu.utils.impl_select import best_impl
+
+        payload_impl = best_impl("payload", jax.default_backend())
+    if payload_impl == "fused" and _payload_fused_applicable(cfg, _all_occ):
+        # fused Pallas tail: FFT + equalize + demap in one kernel
+        # (kernels.payload_fused) — same math as the XLA path below,
+        # same contraction order; decisions equality-gated by
+        # ``bench.py --check`` like every dispatched impl
+        from rub_mimo_tpu.kernels.payload_fused import payload_fused
+
+        rx_sig, rx_data = payload_fused(
+            x_t, W, gain, np.asarray(constellation.table(cfg.modulation)),
+            np.float32(1.0 / np.sqrt(m_occ)),
+            interpret=jax.default_backend() != "tpu",
+        )
+        win_valid = (T + cfg.symbol_len) - sync_index
+        ends = decode_start + (
+            jnp.arange(n_sym, dtype=jnp.int32) + 1) * cfg.symbol_len
+        symbol_valid = (ends <= win_valid) & synced
+        return DecodeResult(
+            synced=synced, sync_index=sync_index,
+            sync_sample=sync.sync_sample,
+            plateau_start=sync.plateau_start,
+            plateau_end=sync.plateau_end,
+            cfo_hat=cfo_total,
+            cfo_coarse=coarse_cfo if cfg.correct_cfo else jnp.float32(0.0),
+            G=G, W=W, normalize_gain=gain,
+            s0_index=mf.s0_index, ac_index=mf.ac_index,
+            decode_start=decode_start,
+            rx_sig=rx_sig, rx_data=rx_data,
+            symbol_valid=symbol_valid,
+            metric=sync.metric, mf_traces=mf.traces, Y=None,
+        )
+
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
     # all-carriers allocations (the reference default) make the
     # occupied-subcarrier gather an identity — skip it (the fused

@@ -43,6 +43,7 @@ FALLBACKS = {
     "sync": "coarse",
     "matched_filter": "xcorr",
     "cpstrip": "xla",
+    "payload": "xla",
 }
 
 

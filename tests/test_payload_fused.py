@@ -1,0 +1,87 @@
+"""kernels.payload_fused (fused FFT+equalize+demap Pallas tail) must
+reproduce the XLA payload tail: interpret-mode kernel vs the reference
+chain, plus the decode-level dispatch equality."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rub_mimo_tpu.config import ModemConfig, Modulation
+from rub_mimo_tpu.io import simulator
+from rub_mimo_tpu.kernels.payload_fused import payload_fused, supported
+from rub_mimo_tpu.ofdm import constellation
+from rub_mimo_tpu.pipeline import rx
+
+
+def _reference_tail(x, W, gain, modulation, norm):
+    from rub_mimo_tpu.detect import zf
+
+    S, n_sym, M = x.shape
+    X = jnp.fft.fft(x, axis=-1) * norm
+    Y = jnp.moveaxis(X, 1, 0)
+    eq = zf.equalize(Y, W, gain)
+    rx_sig = jnp.moveaxis(eq, 0, 1).reshape(S, n_sym * M)
+    return rx_sig, constellation.demodulate(rx_sig, modulation)
+
+
+@pytest.mark.parametrize("n_sym", [8, 37])
+def test_kernel_matches_xla_tail(n_sym):
+    rng = np.random.default_rng(3)
+    S, M = 2, 2048
+    x = jnp.asarray(
+        (rng.normal(size=(S, n_sym, M)) * 0.3
+         + 1j * rng.normal(size=(S, n_sym, M)) * 0.3).astype(np.complex64))
+    W = jnp.asarray(
+        (rng.normal(size=(M, S, S))
+         + 1j * rng.normal(size=(M, S, S))).astype(np.complex64))
+    gain = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+    tab = np.asarray(constellation.table(Modulation.ARB32OPT))
+    norm = np.float32(1.0 / np.sqrt(M))
+
+    sig, data = payload_fused(x, W, gain, tab, norm, interpret=True)
+    ref_sig, ref_data = _reference_tail(x, W, gain, Modulation.ARB32OPT,
+                                        norm)
+    # same math, different summation order: fp-close, decisions may
+    # differ only on exact Voronoi boundaries (none with this seed)
+    np.testing.assert_allclose(np.asarray(sig), np.asarray(ref_sig),
+                               rtol=0, atol=5e-5)
+    assert int(jnp.sum(data != ref_data)) == 0
+
+
+def test_supported_gate():
+    assert supported(2048, 2048, 2, 32)
+    assert supported(1024, 1024, 2, 32)
+    assert not supported(2048, 1842, 2, 32)   # guard-band allocation
+    assert not supported(64, 64, 2, 32)       # M too small
+    assert not supported(2048, 2048, 2, 256)  # arity too large
+
+
+def test_decode_dispatch_equality():
+    cfg = ModemConfig(pid_max=12, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=3000, seed=7)
+    capture, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    r_xla = rx.decode(jnp.asarray(capture), cfg, payload_impl="xla")
+    r_fus = rx.decode(jnp.asarray(capture), cfg, payload_impl="fused")
+    assert bool(r_xla.synced) and bool(r_fus.synced)
+    assert int(jnp.sum(r_xla.rx_data != r_fus.rx_data)) == 0
+    np.testing.assert_allclose(np.asarray(r_fus.rx_sig),
+                               np.asarray(r_xla.rx_sig), rtol=0, atol=5e-5)
+    # and the fused path actually decodes the payload
+    n = cfg.pid_max * cfg.M_occupied
+    errs = int(np.sum(np.asarray(r_fus.rx_data)[:, :n]
+                      != np.asarray(tx_data)[:, :n]))
+    assert errs == 0
+
+
+def test_unsupported_geometry_falls_back():
+    # guard-band preset: gate rejects, decode must still work via xla
+    cfg = ModemConfig(pid_max=6, bit_exact=False, use_all_carriers=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=2000, seed=9)
+    capture, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    r = rx.decode(jnp.asarray(capture), cfg, payload_impl="fused")
+    assert bool(r.synced)
+    n = cfg.pid_max * cfg.M_occupied
+    errs = int(np.sum(np.asarray(r.rx_data)[:, :n]
+                      != np.asarray(tx_data)[:, :n]))
+    assert errs == 0
