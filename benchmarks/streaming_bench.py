@@ -25,6 +25,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--chunk", type=int, default=1 << 19)
+    ap.add_argument("--block", type=int, default=0, metavar="K",
+                    help="feed K chunks per push_block call (batched "
+                         "seek: one host round-trip per block instead "
+                         "of per chunk); 0 = chunk-at-a-time push")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -71,17 +75,29 @@ def main():
         lambda x, i: jax.lax.dynamic_slice(
             x, (jnp.int32(0), i), (S, chunk))
     )
+    K = max(0, args.block)
+    bslicer = jax.jit(
+        lambda x, i: jax.lax.dynamic_slice(
+            x, (jnp.int32(0), i), (S, K * chunk))
+    ) if K > 1 else None
 
     def run_once(per_phase=None):
         dec = streaming.StreamingDecoder(cfg, chunk_size=chunk)
-        for i in range(n_chunks):
+        i = 0
+        while i < n_chunks:
             ph = dec.phase
             t0 = time.perf_counter()
-            dec.push(slicer(padded, jnp.int32(i * chunk)))
+            if K > 1 and ph == "seek" and i + K <= n_chunks:
+                dec.push_block(bslicer(padded, jnp.int32(i * chunk)))
+                n_fed = K
+            else:
+                dec.push(slicer(padded, jnp.int32(i * chunk)))
+                n_fed = 1
             if per_phase is not None:
                 per_phase.setdefault(ph, []).append(
-                    time.perf_counter() - t0
+                    (time.perf_counter() - t0) / n_fed
                 )
+            i += n_fed
         dec.finalize()
         return dec
 

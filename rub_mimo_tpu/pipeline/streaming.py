@@ -470,6 +470,36 @@ class StreamingDecoder:
             ]
 
         @jax.jit
+        def seek_scan(tail, last_below, recent, blocks, gpos0):
+            """Seek over MANY chunks in one device program: lax.scan of
+            the per-chunk sync step; bit-identical state carries.  The
+            host fetches ONE [K] int32 fired vector instead of one
+            boolean per chunk (the per-chunk fetch bounded live seek
+            throughput to ~6e8 samples/s through the tunneled
+            attachment — VERDICT r3 item 6)."""
+            def body(carry, blk):
+                t, lb, rec, g = carry
+                t2, lb2, fired, _, _, _ = sync_step(t, lb, blk, g)
+                return (t2, lb2, recent_step(rec, blk),
+                        g + jnp.int32(C)), fired
+
+            (t2, lb2, rec2, _), fired = jax.lax.scan(
+                body, (tail, last_below, recent, gpos0), blocks
+            )
+            return t2, lb2, rec2, fired
+
+        @jax.jit
+        def block_split(x):  # [S, K*C] -> [K, S, C] (on device: eager
+            return jnp.moveaxis(   # complex ops fail on axon)
+                x.reshape(S, -1, C), 1, 0
+            )
+
+        @jax.jit
+        def block_chunk(blocks, k):  # dynamic k: one compile for all K
+            return jax.lax.dynamic_index_in_dim(blocks, k, 0,
+                                                keepdims=False)
+
+        @jax.jit
         def ala_combine(Ypair, Gfull):
             """Ypair [2, S, m_occ] raw -> combined lane-0 frames
             [2, S, m_occ] with postprocessing (scale/phase-track)."""
@@ -514,6 +544,9 @@ class StreamingDecoder:
         self._ring_write = ring_write
         self._ring_read = ring_read
         self._recent_step = recent_step
+        self._seek_scan = seek_scan
+        self._block_split = block_split
+        self._block_chunk = block_chunk
         self._fb_step = fb_step
         self._derotate = derotate
         self._mf_step = mf_step
@@ -552,6 +585,70 @@ class StreamingDecoder:
                 emitted += self._push_inner(c)
             return emitted
         return self._push_inner(chunk)
+
+    def push_block(self, samples) -> List[Tuple[int, np.ndarray]]:
+        """Feed MANY chunks ([S, K*chunk_size], K >= 1) at once.
+
+        While the decoder is seeking, the whole block runs as ONE device
+        program (``seek_scan``) with a single [K]-int32 fetch, instead of
+        one host round-trip per chunk — on the tunneled attachment each
+        fetch costs ~0.1 ms, which bounded live seek throughput at ~6e8
+        samples/s regardless of device speed.  If sync fires inside the
+        block (or the decoder is in any other phase, or a feature that
+        needs per-chunk host logic is active: fallback sync, front-end
+        warmup, live SFO), the block is replayed through the ordinary
+        per-chunk ``push`` from unchanged state, so results are
+        bit-identical to chunk-at-a-time feeding."""
+        C = self.C
+        T = samples.shape[-1]
+        if samples.shape[0] != self.S or T % C:
+            raise ValueError(
+                f"push_block needs [{self.S}, K*{C}] samples, got "
+                f"{samples.shape}"
+            )
+        K = T // C
+        fast_ok = (
+            self.phase == "seek"
+            and K > 1
+            and not self.cfg.sync_fallback
+            and self._resampler is None
+            and not (self._fe_comp and self._fe_dc is None)
+        )
+        if not isinstance(samples, np.ndarray):
+            blocks = self._block_split(samples)
+        else:
+            blocks = jnp.asarray(
+                np.moveaxis(samples.reshape(self.S, K, C), 1, 0)
+            )
+        if not fast_ok:
+            emitted: List[Tuple[int, np.ndarray]] = []
+            for k in range(K):
+                emitted += self.push(self._block_chunk(blocks, k))
+            return emitted
+        if self._fe_comp:
+            from rub_mimo_tpu.estimate import frontend
+
+            blocks = jax.jit(
+                lambda b, dc, w: jax.vmap(
+                    lambda c: frontend.compensate(c, dc, w)
+                )(b)
+            )(blocks, self._fe_dc, self._fe_w)
+        t2, lb2, rec2, fired = self._seek_scan(
+            self._tail, self._last_below, self._recent, blocks,
+            jnp.int32(self.gpos),
+        )
+        if not bool(np.any(np.asarray(to_host(fired)))):
+            # no sync in the whole block: commit the scanned state
+            self._tail, self._last_below, self._recent = t2, lb2, rec2
+            self.gpos += K * C
+            return []
+        # sync fired somewhere inside: state was not committed — replay
+        # chunk-by-chunk through the ordinary path (exact per-chunk
+        # semantics for the fire transition and everything after)
+        emitted = []
+        for k in range(K):
+            emitted += self._push_inner(self._block_chunk(blocks, k))
+        return emitted
 
     def _fe_start(self) -> List[Tuple[int, np.ndarray]]:
         """Estimate the front-end moments over the warmup buffer, then

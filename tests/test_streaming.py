@@ -273,3 +273,55 @@ def test_streaming_single_burst_api_unchanged():
     assert dec.sync_index == int(ref.sync_index)
     _, rx_data = dec.result()
     np.testing.assert_array_equal(rx_data, np.asarray(ref.rx_data))
+
+
+@pytest.mark.parametrize("block_chunks", [2, 5])
+def test_push_block_matches_push(block_chunks):
+    """push_block (batched seek, one fetch per block) must be
+    frame-for-frame identical to chunk-at-a-time push."""
+    cfg = tiny_config(bit_exact=False)
+    cap, tx_data, _ = _capture(cfg, delay=900)
+    chunk = 128
+    ref = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=chunk)
+    ref.finalize()
+    assert ref.synced
+
+    dec = streaming.StreamingDecoder(cfg, chunk)
+    capn = np.asarray(cap)
+    T = capn.shape[-1]
+    B = chunk * block_chunks
+    nb = -(-T // B)
+    padded = np.pad(capn, ((0, 0), (0, nb * B - T)))
+    for i in range(nb):
+        dec.push_block(padded[:, i * B:(i + 1) * B])
+    dec.finalize()
+    assert dec.synced and dec.sync_index == ref.sync_index
+    sig_a, data_a = ref.result()
+    sig_b, data_b = dec.result()
+    np.testing.assert_array_equal(data_b, data_a)
+    np.testing.assert_allclose(sig_b, sig_a, rtol=1e-5, atol=1e-6)
+
+
+def test_push_block_late_sync():
+    """Sync deep inside the capture: many all-seek blocks first (the
+    fast path commits scanned state), then a fire mid-block."""
+    cfg = tiny_config(bit_exact=False)
+    cap, tx_data, _ = _capture(cfg, delay=2000)
+    chunk = 128
+    ref = streaming.decode_stream(np.asarray(cap), cfg, chunk_size=chunk)
+    ref.finalize()
+    if not ref.synced:
+        pytest.skip("no sync at this geometry")
+    dec = streaming.StreamingDecoder(cfg, chunk)
+    capn = np.asarray(cap)
+    B = chunk * 4
+    T = capn.shape[-1]
+    nb = -(-T // B)
+    padded = np.pad(capn, ((0, 0), (0, nb * B - T)))
+    for i in range(nb):
+        dec.push_block(padded[:, i * B:(i + 1) * B])
+    dec.finalize()
+    assert dec.synced and dec.sync_index == ref.sync_index
+    _, data_a = ref.result()
+    _, data_b = dec.result()
+    np.testing.assert_array_equal(data_b, data_a)
