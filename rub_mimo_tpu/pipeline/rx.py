@@ -122,17 +122,21 @@ def extract_payload(
     every run despite the cond, ~1.4 ms/decode, which is what xla_pad
     eliminates), "xla_slow" (the slow formulation unconditionally: for
     vmapped decodes, where vmap turns the cond into a select that runs
-    both branches), "dynwin" (Pallas DMA kernel).
+    both branches).
+
+    A Pallas DMA variant ("dynwin") was removed in round 4 after its
+    recorded TPU compile failure was root-caused: this toolchain's
+    Mosaic backend crashes (remote-compiler HTTP 500) on ANY
+    lane-unaligned DMA slice — static or dynamic — and on dynamic
+    lane-dim VMEM slicing, which a sample-granular dynamic window grab
+    fundamentally requires (see docs/BENCHMARKS.md "Pallas compile
+    findings" for the minimal repros).
     """
     S, T = iq.shape
     if impl == "auto":
         from rub_mimo_tpu.utils.impl_select import best_impl
 
         impl = best_impl("window", jax.default_backend())
-    if impl == "dynwin":
-        from rub_mimo_tpu.kernels.dynwin import dynamic_window
-
-        return dynamic_window(iq, cstart, plen)
     if impl == "xla_pad":
         # windowcf read-zeros semantics with NO data-dependent control
         # flow: iq embedded in a zero sea of plen each side, so the
@@ -302,11 +306,7 @@ def decode(
     table (utils.impl_select, regenerated by ``bench.py --check``) and
     picks the fastest impl that passed the equality check on this
     backend — falling back to "xla" (the clamp+roll+mask formulation,
-    vmappable; batched decodes force it) when unmeasured.  "dynwin"
-    forces the Pallas dynamic-window DMA kernel (kernels.dynwin) —
-    BENCH_r02 measured it ~70x slower than the XLA path at the
-    reference operating point, so it never wins auto without a fresh
-    measurement saying otherwise."""
+    vmappable; batched decodes force it) when unmeasured."""
     S = cfg.num_streams
     M = cfg.M
     m_occ = cfg.M_occupied
@@ -425,18 +425,30 @@ def decode(
         from rub_mimo_tpu.utils.impl_select import best_impl
 
         payload_impl = best_impl("payload", jax.default_backend())
-    if payload_impl == "fused" and _payload_fused_applicable(cfg, _all_occ):
-        # fused Pallas tail: FFT + equalize + demap in one kernel
-        # (kernels.payload_fused) — same math as the XLA path below,
-        # same contraction order; decisions equality-gated by
-        # ``bench.py --check`` like every dispatched impl
-        from rub_mimo_tpu.kernels.payload_fused import payload_fused
+    if (payload_impl in ("fused", "eqdemap")
+            and _payload_fused_applicable(cfg, _all_occ)):
+        # Pallas payload tails (same math as the XLA path below, same
+        # contraction order; decisions equality-gated by
+        # ``bench.py --check`` like every dispatched impl):
+        #   "fused"   — FFT + equalize + demap in one kernel
+        #               (kernels.payload_fused)
+        #   "eqdemap" — XLA FFT (already natural-order), then the
+        #               relayout-free equalize+demap kernel
+        #               (kernels.eq_demap)
+        interp = jax.default_backend() != "tpu"
+        tab = np.asarray(constellation.table(cfg.modulation))
+        norm = np.float32(1.0 / np.sqrt(m_occ))
+        if payload_impl == "fused":
+            from rub_mimo_tpu.kernels.payload_fused import payload_fused
 
-        rx_sig, rx_data = payload_fused(
-            x_t, W, gain, np.asarray(constellation.table(cfg.modulation)),
-            np.float32(1.0 / np.sqrt(m_occ)),
-            interpret=jax.default_backend() != "tpu",
-        )
+            rx_sig, rx_data = payload_fused(
+                x_t, W, gain, tab, norm, interpret=interp)
+        else:
+            from rub_mimo_tpu.kernels.eq_demap import eq_demap
+
+            Xf = jnp.fft.fft(x_t, axis=-1) * norm
+            rx_sig, rx_data = eq_demap(Xf, W, gain, tab,
+                                       interpret=interp)
         win_valid = (T + cfg.symbol_len) - sync_index
         ends = decode_start + (
             jnp.arange(n_sym, dtype=jnp.int32) + 1) * cfg.symbol_len

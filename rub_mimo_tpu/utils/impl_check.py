@@ -116,6 +116,19 @@ def _equal(a_tree, b_tree, *, exact: bool) -> bool:
     )))
 
 
+def _direct_tractable(cfg, budget_bytes: int = 2 << 30) -> bool:
+    """The matched filter's method="direct" (reference-shaped gather +
+    einsum, kept as the validation oracle for "xcorr") materializes a
+    [S, n_seq, symbol_len, M] complex intermediate — ~3 TB at the
+    reference operating point, which is what crashed the remote TPU
+    compiler in rounds 2-3 (recorded as an impl error).  It is a
+    small-dims validation method by construction; only measure it where
+    the intermediate fits a sane budget."""
+    n_seq = 1 + cfg.num_access_codes * cfg.num_streams
+    need = cfg.num_streams * n_seq * cfg.symbol_len * cfg.M * 8
+    return need <= budget_bytes
+
+
 def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
               write: bool = True, retry_failed: bool = False) -> dict:
     """Measure + equality-check every dispatched impl, each inside the
@@ -166,7 +179,7 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
 
     points = {
         "window": (
-            ["xla", "xla_pad"] + (["dynwin"] if on_tpu else []),
+            ["xla", "xla_pad"],
             lambda impl: mk_decode(window_impl=impl),
         ),
         "sync": (
@@ -174,7 +187,7 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
             lambda impl: mk_decode(sync_impl=impl),
         ),
         "matched_filter": (
-            ["xcorr", "direct"],
+            ["xcorr"] + (["direct"] if _direct_tractable(cfg) else []),
             lambda impl: mk_decode(mf_method=impl),
         ),
         "cpstrip": (
@@ -182,7 +195,7 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
             lambda impl: mk_decode(cpstrip_impl=impl),
         ),
         "payload": (
-            ["xla"] + (["fused"] if on_tpu else []),
+            ["xla"] + (["fused", "eqdemap"] if on_tpu else []),
             lambda impl: mk_decode(payload_impl=impl),
         ),
     }

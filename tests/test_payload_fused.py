@@ -85,3 +85,15 @@ def test_unsupported_geometry_falls_back():
     errs = int(np.sum(np.asarray(r.rx_data)[:, :n]
                       != np.asarray(tx_data)[:, :n]))
     assert errs == 0
+
+
+def test_decode_dispatch_equality_eqdemap():
+    cfg = ModemConfig(pid_max=12, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=3000, seed=7)
+    capture, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    r_xla = rx.decode(jnp.asarray(capture), cfg, payload_impl="xla")
+    r_eqd = rx.decode(jnp.asarray(capture), cfg, payload_impl="eqdemap")
+    assert bool(r_eqd.synced)
+    assert int(jnp.sum(r_xla.rx_data != r_eqd.rx_data)) == 0
+    np.testing.assert_allclose(np.asarray(r_eqd.rx_sig),
+                               np.asarray(r_xla.rx_sig), rtol=0, atol=5e-6)
