@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--overhead", action="store_true",
+                    help="single-device sharding-overhead mode: run the "
+                         "shard_map sharded decoder on a 1-device mesh "
+                         "vs the plain pipeline.rx decode, sustained "
+                         "fetch-backed timing — the one scaling-relevant "
+                         "number a single attached chip can produce "
+                         "(partitioning + collective-insertion cost)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,6 +63,46 @@ def main():
     cap, _, _ = simulator.simulate_capture(cfg, spec)
     cap = jnp.asarray(cap)
     S, T = cap.shape
+
+    if args.overhead:
+        import numpy as np
+
+        from rub_mimo_tpu.pipeline import rx
+        from rub_mimo_tpu.utils.transfer import to_host
+
+        sum_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+        def sustained(fn, arg, n=30):
+            out = fn(arg)
+            float(np.asarray(to_host(sum_fn(out.rx_data))))
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn(arg)
+            float(np.asarray(to_host(sum_fn(out.rx_data))))
+            return (time.perf_counter() - t0) / n * 1e3
+
+        plain = rx.make_decoder(cfg)
+        plain_ms = sustained(plain, cap)
+
+        mesh = mesh_mod.make_mesh(1, 1)
+        iq = mesh_mod.shard_capture(cap, mesh)
+        sharded = decode_sharded.build_sharded_decoder(
+            cfg, mesh, iq.shape[-1])
+        shard_ms = sustained(sharded, iq)
+        print(json.dumps({
+            "metric": "sharding_overhead_1dev",
+            "plain_sustained_ms": round(plain_ms, 4),
+            "sharded_sustained_ms": round(shard_ms, 4),
+            "overhead_ms": round(shard_ms - plain_ms, 4),
+            "overhead_percent": round(
+                100 * (shard_ms - plain_ms) / plain_ms, 2),
+            "frames": cfg.pid_max,
+            "capture": [int(S), int(T)],
+            "note": "shard_map(1x1 mesh) decode vs plain jit decode on "
+                    "the same chip: the cost of partitioning + halo/"
+                    "election collective insertion at degenerate size",
+        }))
+        return 0
 
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
     results = {}

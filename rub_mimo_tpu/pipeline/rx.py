@@ -598,7 +598,8 @@ def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):
         return jax.vmap(
             lambda iq: decode(iq, cfg, keep_debug=False,
                               mf_method=mf_method, sync_impl="coarse_full",
-                              window_impl="xla_slow", cpstrip_impl="xla")
+                              window_impl="xla_slow", cpstrip_impl="xla",
+                              payload_impl="xla")
         )(iq_batch)
 
     return _decode_batch
