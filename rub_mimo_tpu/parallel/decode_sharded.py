@@ -140,6 +140,212 @@ def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     return best_t, starts_out, fired_any, corr_out
 
 
+def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
+                       T_total: int):
+    """Coarse+refine per-shard sync (stage A fast path).
+
+    The full-rate per-shard metric scan (_sync_stage) reads every sample
+    ~8x; at the reference operating point it dominated a measured ~9 ms
+    1-device sharding overhead (round 4).  This stage ports the offline
+    coarse scan (sync/schmidl_cox._synchronize_coarse) into shard_map:
+
+      - exact metric at D-aligned GLOBAL positions from per-D-block
+        partial sums over [left halo | local] (halo = a D-aligned
+        ~(3M + 2cp) window exchanged via ppermute, enough for block
+        sums, candidate refinement, AND the run-start scan);
+      - candidate pairs: local pairs plus the boundary pair owned as
+        j = -1 (this shard's first coarse point with the neighbor's
+        last, computed from the halo — every global pair is counted
+        exactly once);
+      - the first K candidates refine with exact-metric windows; the
+        LAST shard also runs the offline tail guard.
+
+    Falls back (lax.cond on a REPLICATED flag, so every device takes
+    the same branch) to the full-rate scan whenever any shard sees a
+    saturated run-start window or more than K unrefined candidates —
+    the same exactness rule as the offline coarse path, so results
+    always match the full scan (same float caveat class as the offline
+    chunk seams).  Returns (need_full, best_t, starts, fired, corr_at);
+    the caller runs _sync_stage when need_full.
+    """
+    S, Tloc = local.shape
+    M = cfg.M
+    M2 = M // 2
+    cp = cfg.cp_len
+    thr = cfg.plateau_threshold
+    D = schmidl_cox._coarse_stride(cfg)
+    K = 4
+    me = jax.lax.axis_index("time")
+    shard0 = me * Tloc
+
+    halo = -(-(3 * M + 2 * cp + 2 * D) // D) * D
+    if n_time > 1:
+        left = jax.lax.ppermute(
+            local[:, -halo:], "time", [(j, j + 1) for j in range(n_time - 1)]
+        )
+    else:
+        left = jnp.zeros((S, halo), dtype=local.dtype)
+    ext = jnp.concatenate([left, local], axis=-1)  # [S, halo + Tloc]
+    Te = ext.shape[-1]
+    # global position of ext[:, i] is shard0 - halo + i
+
+    # ---- coarse pass over ext (same block-sum math as offline) ----
+    nD = Te // D
+    n_full = nD * D
+    kp, ke = M2 // D, M // D
+    prod = jnp.conj(ext[:, : n_full - M2]) * ext[:, M2:n_full]
+    prod = jnp.pad(prod, ((0, 0), (M2, 0)))
+    ones_d = jnp.ones((D,), jnp.float32)
+    prod3 = prod.reshape(S, nD, D)
+    bs_p = (
+        jnp.einsum("snd,d->sn", jnp.real(prod3), ones_d,
+                   preferred_element_type=jnp.float32)
+        + 1j * jnp.einsum("snd,d->sn", jnp.imag(prod3), ones_d,
+                          preferred_element_type=jnp.float32)
+    ).astype(ext.dtype)
+    e_in = (jnp.real(ext[:, :n_full]) ** 2
+            + jnp.imag(ext[:, :n_full]) ** 2).astype(jnp.float32)
+    bs_e = jnp.einsum("snd,d->sn", e_in.reshape(S, nD, D), ones_d,
+                      preferred_element_type=jnp.float32)
+
+    def _mov(bs, k):
+        cs = jnp.cumsum(bs, axis=-1)
+        return cs - jnp.pad(cs[:, :-k], ((0, 0), (k, 0)))
+
+    corr_c = -_mov(bs_p, kp)
+    e_c = 0.5 * _mov(bs_e, ke)
+    metric_c = (
+        (jnp.real(corr_c) ** 2 + jnp.imag(corr_c) ** 2).astype(jnp.float32)
+        / (e_c * e_c)
+    )
+    # coarse point i (ext blocks) sits at ext position i*D + D - 1; the
+    # LOCAL points start at block halo//D; block halo//D - 1 is the
+    # neighbor's last point (for the j = -1 boundary pair)
+    b0 = halo // D
+    nloc = Tloc // D
+    all_c = jnp.all(metric_c > thr, axis=0)          # [nD]
+    loc_above = jax.lax.dynamic_slice(
+        all_c, (b0 - 1,), (nloc + 1,)
+    )  # [prev_last, local points...]
+    # shard 0 has a zero halo; its "neighbor point" must not pair
+    loc_above = loc_above.at[0].set(
+        jnp.where(me > 0, loc_above[0], False)
+    )
+    pair = loc_above[:-1] & loc_above[1:]            # [nloc] pair j-1
+    n_cand = jnp.sum(pair)
+    big = jnp.int32(T_total + 10 * M)
+    jidx = jnp.arange(nloc, dtype=jnp.int32)         # pair index - 1
+    neg = jax.lax.top_k(jnp.where(pair, -jidx, -big), K)[0]
+    cand_j = -neg                                    # smallest first
+
+    Lp = 2 * cp + 2
+    Lw = (M - 1) + Lp
+    run_w = 2 * M + 2 * cp
+    Lr = (M - 1) + run_w
+
+    def refine_fire(j):
+        # pair (j-1, j) in LOCAL point coords: second point at local
+        # block j -> ext position halo + j*D + D - 1
+        t_e = halo + j * D + D - 1
+        p0 = t_e - cp - 1
+        start = p0 - (M - 1)
+        cl = jnp.clip(start, 0, Te - Lw)
+        win = jax.lax.dynamic_slice(
+            ext, (jnp.int32(0), cl.astype(jnp.int32)), (S, Lw)
+        )
+        m_w, _ = schmidl_cox._metric_from_slice(win, M)
+        q0 = p0 - cl
+        qs = jnp.clip(q0 + jnp.arange(Lp, dtype=jnp.int32), 0, Lw - 1)
+        pos = cl + qs                                 # ext coords
+        gpos = shard0 - halo + pos                    # global coords
+        above = jnp.all(
+            jnp.take_along_axis(
+                m_w, jnp.broadcast_to(qs[None, :], (S, Lp)), axis=1
+            ) > thr,
+            axis=0,
+        )
+        runlen = jnp.cumsum(above.astype(jnp.int32))
+        runlen = runlen - jnp.pad(runlen[: -(cp + 2)], (cp + 2, 0))
+        fire = ((runlen >= cp + 2) & (pos >= t_e)
+                & (gpos >= 0) & (gpos < T_total))
+        p_fire = jnp.min(jnp.where(fire, gpos, big))
+        ok = (j < nloc) & (shard0 + j * D + D - 1 + cp < T_total)
+        return jnp.where(ok, p_fire, big)
+
+    fires = jnp.stack([refine_fire(cand_j[k]) for k in range(K)])
+
+    # ---- tail guard (LAST shard only): burst in the final ~2D samples
+    # whose coarse pair falls past the aligned grid ----
+    Wt = 2 * cp + 4 * D + 2
+    tail_len = (M - 1) + Wt + cp + 2
+    twin = ext[:, Te - tail_len:]
+    m_t, _ = schmidl_cox._metric_from_slice(twin, M)
+    qs_t = (M - 1) + jnp.arange(Wt + cp + 2, dtype=jnp.int32)
+    gpos_t = shard0 - halo + (Te - tail_len) + qs_t
+    above_t = jnp.all(m_t[:, qs_t] > thr, axis=0)
+    rl_t = jnp.cumsum(above_t.astype(jnp.int32))
+    rl_t = rl_t - jnp.pad(rl_t[: -(cp + 2)], (cp + 2, 0))
+    fire_t = ((rl_t >= cp + 2) & (gpos_t >= T_total - 2 * D - cp)
+              & (gpos_t < T_total))
+    p_tail = jnp.where(
+        me == n_time - 1,
+        jnp.min(jnp.where(fire_t, gpos_t, big)),
+        big,
+    )
+
+    t_loc_best = jnp.minimum(jnp.min(fires), p_tail)
+    synced_loc = t_loc_best < big
+
+    # ---- run starts + corr at t* (the ~(3M+2cp) halo covers the whole
+    # exact-scan window left of any locally-owned t*) ----
+    t_e_star = jnp.where(
+        synced_loc, t_loc_best - shard0 + halo, jnp.int32(halo)
+    )
+    r_start_g = (t_loc_best - run_w + 1) - (M - 1)   # global
+    r_cl_g = jnp.clip(r_start_g, 0, jnp.maximum(T_total - Lr, 0))
+    r_cl_e = r_cl_g - shard0 + halo                  # ext coords (>= 0)
+    r_cl_e = jnp.clip(r_cl_e, 0, Te - Lr)
+    rwin = jax.lax.dynamic_slice(
+        ext, (jnp.int32(0), r_cl_e.astype(jnp.int32)), (S, Lr)
+    )
+    m_r, corr_r = schmidl_cox._metric_from_slice(rwin, M)
+    gpos_r = (shard0 - halo + r_cl_e) + jnp.arange(Lr, dtype=jnp.int32)
+    in_scan = (gpos_r <= t_loc_best) & (gpos_r > t_loc_best - run_w)
+    below = (~(m_r > thr)) & in_scan[None, :]
+    last_below = jnp.max(
+        jnp.where(below, gpos_r[None, :], jnp.int32(-1)), axis=1
+    )
+    starts_loc = (last_below + 1).astype(jnp.int32)
+    run_saturated = (
+        synced_loc
+        & (t_loc_best - run_w + 1 > 0)
+        & jnp.any(last_below == -1)
+    )
+    onehot = (gpos_r == t_loc_best).astype(jnp.float32)
+    c_at_loc = jnp.sum(corr_r * onehot[None, :], axis=1)
+
+    # ---- global election + exactness flag ----
+    best_t = jax.lax.pmin(jnp.where(synced_loc, t_loc_best, big), "time")
+    fired_any = best_t < big
+    win_shard = synced_loc & (t_loc_best == best_t)
+    starts_out = jax.lax.psum(
+        jnp.where(win_shard, starts_loc, jnp.int32(0)), "time"
+    )
+    corr_out = jax.lax.psum(
+        jnp.where(win_shard, c_at_loc, jnp.complex64(0)), "time"
+    )
+    starts_out = jnp.where(fired_any, starts_out, jnp.ones((S,), jnp.int32))
+    corr_out = jnp.where(fired_any, corr_out,
+                         jnp.zeros((S,), corr_out.dtype))
+    best_t = jnp.where(fired_any, best_t, _BIG)
+
+    need_full_loc = (run_saturated & win_shard) | (
+        (~synced_loc) & (n_cand > K)
+    )
+    need_full = jax.lax.pmax(need_full_loc.astype(jnp.int32), "time") > 0
+    return need_full, best_t, starts_out, fired_any, corr_out
+
+
 # --------------------------------------------------------------- stage B
 def _region_stage(local: jax.Array, rstart: jax.Array, region_len: int):
     """Replicate capture[rstart : rstart+region_len] via masked local
@@ -260,14 +466,31 @@ def _payload_stage(
     rels = rel0 + js * sym
     owned = (rels >= 0) & (rels < Tloc) & (ks < cfg.pid_max)
 
-    def grab(rel):
-        start = jnp.clip(rel, 0, Tloc)  # clamp; invalid slots are masked
-        return jax.lax.dynamic_slice(
-            ext, (jnp.int32(0), start.astype(jnp.int32)), (S, sym)
-        )
+    # this device's windows form a UNIFORM stride = n_sc*sym grid from
+    # rel0 + sc_rank*sym (>= 0 by construction of k0): grab the whole
+    # span with ONE dynamic_slice and peel symbols with the dispatched
+    # strip_cp (the round-2 formulation vmapped a dynamic_slice per
+    # symbol, which XLA lowers to while-loops materializing shard-sized
+    # copies — measured as the bulk of an ~9 ms 1-device sharding
+    # overhead in round 4).  Unowned slots read zeros/garbage from the
+    # padded tail and are masked out before the psum scatter, exactly
+    # as before.
+    from rub_mimo_tpu.pipeline.rx import strip_cp
 
-    wins = jax.vmap(grab)(rels)  # [nloc_sc, S, sym]
-    x_t = wins[:, :, cfg.cp_len :]
+    stride = n_sc * sym
+    span_len = (nloc_sc - 1) * stride + sym
+    ext_p = jnp.pad(ext, ((0, 0), (0, span_len)))
+    off0 = (rel0 + sc_rank * sym).astype(jnp.int32)
+    start = jnp.clip(off0, 0, ext_p.shape[-1] - span_len)
+    span = jax.lax.dynamic_slice(
+        ext_p, (jnp.int32(0), start), (S, span_len)
+    )
+    if span_len < nloc_sc * stride:
+        span = jnp.pad(span, ((0, 0), (0, nloc_sc * stride - span_len)))
+    x_t = strip_cp(span, nloc_sc, stride, cfg.cp_len)
+    if x_t.shape[-1] != cfg.M:
+        x_t = x_t[:, :, : cfg.M]  # n_sc > 1: keep the first M past the CP
+    x_t = jnp.moveaxis(x_t, 0, 1)  # [nloc_sc, S, M]
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
     Y = X[:, :, occ_idx]  # [nloc_sc, S, m_occ]
 
@@ -443,11 +666,45 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
     halo_interpret = mesh.devices.flat[0].platform != "tpu"
 
     spec_t = P(None, "time")
+    # stage A: the coarse+refine fast path applies when the shard size
+    # aligns with the coarse grid (the same static preconditions as the
+    # offline _synchronize_coarse); its per-shard exactness flag falls
+    # back to the full-rate scan via lax.cond on a replicated predicate
+    Tloc = T // n_time
+    D = schmidl_cox._coarse_stride(cfg)
+    coarse_ok = (
+        D >= 2
+        and (cfg.M // 2) % D == 0
+        and Tloc % D == 0
+        and Tloc >= 2 * cfg.M + 4 * cfg.cp_len + 4 * D
+        and halo_impl == "ppermute"
+    )
+
+    def _stage_a(local):
+        if not coarse_ok:
+            return _sync_stage(
+                local, cfg=cfg, n_time=n_time, halo_impl=halo_impl,
+                mesh_axes=tuple(mesh.axis_names),
+                interpret=halo_interpret,
+            )
+        need_full, best_t, starts, fired, corr = _coarse_sync_stage(
+            local, cfg, n_time, T
+        )
+
+        def full(_):
+            return _sync_stage(
+                local, cfg=cfg, n_time=n_time, halo_impl=halo_impl,
+                mesh_axes=tuple(mesh.axis_names),
+                interpret=halo_interpret,
+            )
+
+        def fast(_):
+            return best_t, starts, fired, corr
+
+        return jax.lax.cond(need_full, full, fast, operand=None)
+
     sync_sharded = jax.shard_map(
-        functools.partial(
-            _sync_stage, cfg=cfg, n_time=n_time, halo_impl=halo_impl,
-            mesh_axes=tuple(mesh.axis_names), interpret=halo_interpret,
-        ),
+        _stage_a,
         mesh=mesh,
         in_specs=spec_t,
         out_specs=(P(), P(None), P(), P(None)),

@@ -66,14 +66,17 @@ def make_mesh(
 def shard_capture(iq: jax.Array, mesh: Mesh) -> jax.Array:
     """Place a [streams, T] capture with the time axis sharded.
 
-    Pads T up to a multiple of the time-axis size (zeros — trailing silence
-    is harmless to the decode) so every shard is equal-sized.
+    Pads T up to a multiple of n_time * 128 (zeros — trailing silence is
+    harmless to the decode) so every shard is equal-sized AND every
+    shard length is a multiple of any coarse-sync stride (powers of two
+    up to 128, sync/schmidl_cox._coarse_stride), keeping the sharded
+    stage-A fast path eligible on every mesh size.
     """
     import jax.numpy as jnp
 
     n_time = mesh.shape["time"]
     T = iq.shape[-1]
-    pad = (-T) % n_time
+    pad = (-T) % (n_time * 128)
     if pad:
         iq = jnp.pad(iq, ((0, 0), (0, pad)))
     return jax.device_put(iq, NamedSharding(mesh, P(None, "time")))
