@@ -62,9 +62,18 @@ def normalized_s0_score(ext: jax.Array, cfg: ModemConfig, n_pos: int) -> jax.Arr
     e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(jnp.float32)
     e_win = moving_sum(e_in, M)  # energy of ext[i-M+1 .. i]
     e_fwd = jnp.roll(e_win, -(M - 1), axis=-1)[:, :n_pos]
-    return jnp.sum(c2, axis=0) / (
-        jnp.sum(e_fwd, axis=0) * e_tmpl + 1e-20
-    )
+    # relative denominator floor: windows over SILENT spans (zero
+    # padding, inter-burst gaps) have ~zero measured energy but pick up
+    # FFT-roundtrip residue in c2 (~1e-8 of the capture's energy), so a
+    # bare epsilon lets score = residue/eps explode to ~1e12 and outvote
+    # the real peak (round-4 regression when shard_capture started
+    # zero-padding up to n_time*128).  Flooring at 1e-6 of the largest
+    # window energy caps silent-window scores at ~1e-2 while leaving
+    # every real window's score untouched; an all-zero input has exactly
+    # zero c2, so the 1e-20 keeps that case 0/eps = 0.
+    den = jnp.sum(e_fwd, axis=0) * e_tmpl
+    floor = 1e-6 * jnp.max(den)
+    return jnp.sum(c2, axis=0) / jnp.maximum(den, floor + 1e-20)
 
 
 def s0_xcorr_sync(x: jax.Array, cfg: ModemConfig) -> XcorrSyncResult:

@@ -128,3 +128,22 @@ def test_fallback_with_cfo_correction():
     assert rep.synced
     assert abs(rep.cfo_hat - 0.11) < 0.03
     assert max(rep.symbol_error_rate) < 20.0
+
+
+def test_fallback_ignores_silent_padding():
+    """Zero padding (or any silent span) must not outscore the real S0
+    peak: the normalized score's denominator floor caps silent-window
+    residue (round-4 regression via shard_capture's n_time*128 pad)."""
+    import numpy as np
+
+    from rub_mimo_tpu.sync.xcorr_sync import s0_xcorr_sync
+
+    cfg = tiny_config(bit_exact=False, sync_fallback=True)
+    spec = simulator.ChannelSpec(snr_db=10.0, delay=350, seed=13)
+    cap, _, _ = simulator.simulate_capture(cfg, spec)
+    capn = np.asarray(cap)
+    r0 = s0_xcorr_sync(jnp.asarray(capn), cfg)
+    padded = np.pad(capn, ((0, 0), (0, 700)))
+    r1 = s0_xcorr_sync(jnp.asarray(padded), cfg)
+    assert int(r1.peak_index) == int(r0.peak_index)
+    assert abs(float(r1.quality) - float(r0.quality)) < 1e-3
