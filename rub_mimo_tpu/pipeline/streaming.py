@@ -301,17 +301,30 @@ class StreamingDecoder:
             )
             Y = X[:, :, occ]
             G_occ = G[occ]
+            # the emitted grid leaves the device as STACKED f32 planes
+            # [2(re/im), nloc, S, m_occ]: a direct f32 fetch needs no
+            # conversion jit at all — the c64 (real, imag) splitter
+            # program takes this attachment's remote compiler 30-170 s
+            # and intermittently dies with UNIMPLEMENTED (round 4)
+            def planes(z):
+                return jnp.stack([
+                    jnp.real(z).astype(jnp.float32),
+                    jnp.imag(z).astype(jnp.float32),
+                ])
+
             if cfg.mode == CommMode.ALAMOUTI:
                 # emit raw frequency-domain symbols; pairs are combined on
                 # the host once both halves have arrived (_emit)
-                return ext[:, -(sym - 1):], Y, ks, owned.astype(jnp.int32)
+                return (ext[:, -(sym - 1):], planes(Y), ks,
+                        owned.astype(jnp.int32))
             from rub_mimo_tpu.detect.dispatch import equalize_dispatch
 
             eq = equalize_dispatch(Y, G_occ, W, gain, cfg)
             from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
             eq = postprocess_eq(eq, cfg)
-            return ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32)
+            return (ext[:, -(sym - 1):], planes(eq), ks,
+                    owned.astype(jnp.int32))
 
         @jax.jit
         def fb_step(tail, chunk):
@@ -460,8 +473,12 @@ class StreamingDecoder:
                 )
             Gfull = Gfull.at[occ].set(G_occ_f)
             eq = postprocess_eq(eq, cfg)
-            return (ext[:, -(sym - 1):], eq, ks, owned.astype(jnp.int32),
-                    Gfull, z_out)
+            eq_planes = jnp.stack([
+                jnp.real(eq).astype(jnp.float32),
+                jnp.imag(eq).astype(jnp.float32),
+            ])
+            return (ext[:, -(sym - 1):], eq_planes, ks,
+                    owned.astype(jnp.int32), Gfull, z_out)
 
         @jax.jit
         def recent_step(recent, chunk):
@@ -500,16 +517,25 @@ class StreamingDecoder:
                                                 keepdims=False)
 
         @jax.jit
-        def ala_combine(Ypair, Gfull):
-            """Ypair [2, S, m_occ] raw -> combined lane-0 frames
-            [2, S, m_occ] with postprocessing (scale/phase-track)."""
+        def ala_combine(Ypair_planes, Gfull):
+            """Ypair planes [2(re/im), 2, S, m_occ] raw -> combined
+            lane-0 frames as planes [2(re/im), 2, S, m_occ] with
+            postprocessing (scale/phase-track).  Planes in AND out: the
+            pair buffer lives on the host, and both host->device complex
+            uploads and c64 fetch-conversion compiles are unreliable on
+            the axon attachment."""
             from rub_mimo_tpu.detect import alamouti as alamouti_mod
 
             from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
+            Ypair = jax.lax.complex(Ypair_planes[0], Ypair_planes[1])
             dec = alamouti_mod.combine_pairs(Ypair, Gfull[occ])  # [2, m_occ]
             eq = jnp.zeros_like(Ypair).at[:, 0, :].set(dec)
-            return postprocess_eq(eq, cfg)
+            eq = postprocess_eq(eq, cfg)
+            return jnp.stack([
+                jnp.real(eq).astype(jnp.float32),
+                jnp.imag(eq).astype(jnp.float32),
+            ])
 
         self._ala_combine = ala_combine
         self._sync_step = sync_step
@@ -1021,13 +1047,14 @@ class StreamingDecoder:
             self._enqueue(self._zero_chunk, last_gpos, n=pad)
         return out + self._drain()
 
-    def _emit(self, eq, ks, owned):
+    def _emit(self, eq_planes, ks, owned):
         ks_h = np.asarray(to_host(ks))
         owned_h = np.asarray(to_host(owned)).astype(bool)
         out = []
         if not owned_h.any():
             return out
-        eq_h = to_host(eq)
+        ph = np.asarray(to_host(eq_planes))  # [2, nloc, S, m_occ] f32
+        eq_h = (ph[0] + 1j * ph[1]).astype(np.complex64)
         if self.cfg.mode.value == "alamouti":
             import jax.numpy as jnp
 
@@ -1042,9 +1069,13 @@ class StreamingDecoder:
                     pair = np.stack(
                         [self._pend.pop(k0), self._pend.pop(k0 + 1)]
                     )
-                    comb = to_host(self._ala_combine(
-                        jnp.asarray(pair), self.G
-                    ))
+                    pair_planes = np.stack(
+                        [pair.real, pair.imag]
+                    ).astype(np.float32)
+                    ch = np.asarray(to_host(self._ala_combine(
+                        jnp.asarray(pair_planes), self.G
+                    )))
+                    comb = (ch[0] + 1j * ch[1]).astype(np.complex64)
                     for d in (0, 1):
                         self.frames[k0 + d] = comb[d]
                         out.append((k0 + d, comb[d]))

@@ -22,9 +22,18 @@ def _splitter():
     import jax
     import jax.numpy as jnp
 
+    # ONE stacked f32 output, not (real, imag) as two outputs: the
+    # two-output c64->f32,f32 program takes the axon remote compiler
+    # ~30 s per distinct input shape (vs 0.4 s for this form) and
+    # intermittently dies with UNIMPLEMENTED under load — streaming's
+    # variable-length frame emits hit a fresh shape (and a fresh
+    # pathological compile) on nearly every chunk.
     @jax.jit
     def split(x):
-        return jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32)
+        return jnp.stack(
+            [jnp.real(x).astype(jnp.float32),
+             jnp.imag(x).astype(jnp.float32)]
+        )
 
     return split
 
@@ -108,8 +117,8 @@ def to_host(x: Any) -> np.ndarray:
     if _direct_transfer_ok(str(ndt)):
         return np.asarray(x)
     if ndt == np.complex64:
-        re, im = _splitter()(x)
-        return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+        planes = np.asarray(_splitter()(x))
+        return (planes[0] + 1j * planes[1]).astype(np.complex64)
     if ndt == np.complex128:
         # split to f64 halves, each fetched losslessly via int32 words
         re = _bitcast_fetch(jnp.real(x), np.float64)
