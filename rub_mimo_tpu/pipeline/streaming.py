@@ -1095,11 +1095,18 @@ class StreamingDecoder:
         )
         for k, f in frames.items():
             rx_sig[:, k * self.m_occ : (k + 1) * self.m_occ] = np.asarray(f)
+        # upload as f32 planes and build the complex input inside the
+        # jit: a direct host->device complex64 upload intermittently
+        # fails (and poisons the array) on the axon attachment
+        demap = jax.jit(
+            lambda re, im: constellation.demodulate(
+                jax.lax.complex(re, im), cfg.modulation
+            )
+        )
         rx_data = np.asarray(
             to_host(
-                constellation.demodulate(
-                    jnp.asarray(rx_sig), cfg.modulation
-                )
+                demap(jnp.asarray(rx_sig.real.astype(np.float32)),
+                      jnp.asarray(rx_sig.imag.astype(np.float32)))
             )
         )
         return rx_sig, rx_data
