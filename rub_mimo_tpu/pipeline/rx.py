@@ -398,6 +398,10 @@ def decode(
     plen = n_sym * cfg.symbol_len
     # capture-coordinate start; >= 0 always (decode_start >= M and the
     # window origin is sync_index - symbol_len with sync_index >= 0)
+    # (NOTE: extracting straight to strip_cp's tile-aligned length was
+    # tried in round 4 and reverted — the longer window runs past the
+    # capture end at the operating point and trips extract_payload's
+    # slow clamp+roll branch, which costs far more than the pad saved)
     cstart = jnp.clip(sync_index, 0, T) + decode_start - cfg.symbol_len
     payload = extract_payload(iq, cstart, plen, impl=window_impl)
     # CP strip + symbol split (framing.cc:558) — impl-dispatched; the
