@@ -71,7 +71,14 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref,
 @functools.partial(
     jax.jit, static_argnames=("M", "S", "n_sym", "table", "interpret"))
 def _eq_demap(xr, xi, wr, wi, g, *, M, S, n_sym, table, interpret):
-    F = 32  # frames per grid step
+    # frames per grid step: prefer a block size that divides n_sym so
+    # the [S, n_sym, M] operands need no pad/slice (the 1000-frame
+    # operating point padded to 1024 cost two ~16 MB pad passes)
+    F = 32
+    for cand in (40, 32, 24, 16, 8):
+        if n_sym % cand == 0:
+            F = cand
+            break
     npad = -(-n_sym // F) * F
     if npad != n_sym:
         padw = ((0, 0), (0, npad - n_sym), (0, 0))
