@@ -27,11 +27,14 @@ time axis — millions of IQ samples the reference walks serially per sample
     scatter/psum-assembled into the global [pid_max, streams, M_occupied]
     frequency grid.
 
-  stage D — equalize: the per-subcarrier MIMO solves (the reference's
-    "model dim", framing.cc:570-578/826-832) shard over 'sc'
-    (_equalize_stage): each device computes detector weights and
-    equalizes its contiguous slice of occupied carriers; slices are
-    psum-assembled and the cheap postprocess/demap tail runs replicated.
+  stage D (fused into C, round 4) — equalize: the per-subcarrier MIMO
+    solves (the reference's "model dim", framing.cc:570-578/826-832)
+    run on the symbols' owning devices inside stage C with replicated
+    CSI (every device owns whole symbols, so the solves stay striped
+    over time x sc) — one grid assembly instead of two, which halved
+    the measured 1-device sharding overhead.  The cross-symbol
+    Alamouti/tracking tails still run replicated on the assembled raw
+    grid.
 
 Constraint: T / n_time >= symbol_len (each shard must own at least one
 symbol start).  Captures are padded by parallel.mesh.shard_capture.
@@ -423,10 +426,13 @@ def _chunk(n: int, parts: int):
 def _payload_stage(
     local: jax.Array,
     pstart: jax.Array,
+    G_occ: jax.Array,
+    noise_var: jax.Array,
     cfg: ModemConfig,
     n_time: int,
     n_sc: int,
     occ_idx: jax.Array,
+    fuse_eq: bool,
 ):
     """CP-strip + FFT the OFDM symbols whose start sample falls in this
     shard's time block, striped over the 'sc' axis.
@@ -435,9 +441,10 @@ def _payload_stage(
     (n_time x n_sc) mesh divides the payload FFT work n_time*n_sc ways
     (each symbol is owned by exactly one device).  Returns the RAW
     frequency-domain grid [pid_max, S, m_occ], psum-assembled over both
-    axes and replicated everywhere; equalization happens in the
-    subcarrier-sharded _equalize_stage (or the Alamouti/tracking tails,
-    which need cross-symbol structure and run replicated).
+    axes and replicated everywhere.  With fuse_eq (every per-symbol
+    detector), equalize + postprocess run HERE on each symbol's owning
+    device before the scatter; the Alamouti/tracking tails need
+    cross-symbol structure and consume the raw replicated grid instead.
     """
     S, Tloc = local.shape
     sym = cfg.symbol_len
@@ -494,6 +501,25 @@ def _payload_stage(
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
     Y = X[:, :, occ_idx]  # [nloc_sc, S, m_occ]
 
+    if fuse_eq:
+        # every device owns WHOLE symbols (all subcarriers), so it can
+        # equalize + postprocess its own slots locally with replicated
+        # CSI and the separate sc-sharded equalize stage's second
+        # full-grid psum assembly disappears (~half the measured
+        # 1-device sharding overhead came from the two [pid, S, m_occ]
+        # grid assemblies).  The per-subcarrier weights are tiny
+        # ([m_occ, S, S]); computing them replicated costs less than
+        # assembling the raw grid.  Bit-equal: equalize is per-symbol,
+        # with identical weights and contraction order.
+        from rub_mimo_tpu.detect.dispatch import equalize_dispatch
+        from rub_mimo_tpu.detect.postprocess import postprocess_eq
+        from rub_mimo_tpu.detect.weights import weights_from
+
+        W, gain = weights_from(cfg, G_occ, noise_var)
+        Y = postprocess_eq(
+            equalize_dispatch(Y, G_occ, W, gain, cfg), cfg
+        ).astype(jnp.complex64)
+
     # scatter this device's symbols into the global [pid, S, m_occ] grid
     # and psum-assemble over BOTH mesh axes (each symbol has exactly one
     # owner; row pid_max is the trash slot for unowned lanes)
@@ -502,60 +528,6 @@ def _payload_stage(
         (cfg.pid_max + 1, S, m_occ), dtype=jnp.complex64
     ).at[dest].add(jnp.where(owned[:, None, None], Y, 0))
     return jax.lax.psum(local_out[: cfg.pid_max], ("time", "sc"))
-
-
-# --------------------------------------------------------------- stage D
-def _equalize_stage(
-    Ygrid: jax.Array,
-    G_occ: jax.Array,
-    noise_var: jax.Array,
-    cfg: ModemConfig,
-    n_sc: int,
-):
-    """Per-subcarrier equalization, sharded over the 'sc' mesh axis.
-
-    The per-subcarrier independence of the MIMO solves
-    (mimo/framing.cc:570-578, 826-832) is the reference's "model dim"
-    (SURVEY §2.6): each 'sc' device computes detector weights for its
-    contiguous slice of occupied carriers (detect.weights.weights_from on
-    the slice — ZF adjugate / MMSE solve / ML lattice / SIC are all
-    per-carrier batched ops) and equalizes the whole symbol grid on that
-    slice.  Slices are scatter/psum-assembled; because every op is
-    per-carrier independent, the result is bitwise identical to the
-    offline path.  Replicated output (postprocess + demap run outside,
-    identical to pipeline.rx).
-    """
-    from rub_mimo_tpu.detect.dispatch import equalize_dispatch
-    from rub_mimo_tpu.detect.weights import weights_from
-
-    n_sym, S, m_occ = Ygrid.shape
-    chunk, m_pad = _chunk(m_occ, n_sc)
-    rank = jax.lax.axis_index("sc")
-
-    Yp = jnp.pad(Ygrid, ((0, 0), (0, 0), (0, m_pad - m_occ)))
-    # pad the channel with identity matrices so the padded lanes stay
-    # finite (they are dropped after assembly)
-    eye = jnp.broadcast_to(
-        jnp.eye(S, dtype=G_occ.dtype), (m_pad - m_occ, S, S)
-    )
-    Gp = jnp.concatenate([G_occ, eye], axis=0)
-
-    start = rank * chunk
-    Y_loc = jax.lax.dynamic_slice(
-        Yp, (jnp.int32(0), jnp.int32(0), start), (n_sym, S, chunk)
-    )
-    G_loc = jax.lax.dynamic_slice(
-        Gp, (start, jnp.int32(0), jnp.int32(0)), (chunk, S, S)
-    )
-    W_loc, gain_loc = weights_from(cfg, G_loc, noise_var)
-    eq_loc = equalize_dispatch(Y_loc, G_loc, W_loc, gain_loc, cfg)
-
-    out = jnp.zeros((n_sym, S, m_pad), dtype=jnp.complex64)
-    out = jax.lax.dynamic_update_slice(
-        out, eq_loc.astype(jnp.complex64),
-        (jnp.int32(0), jnp.int32(0), start),
-    )
-    return jax.lax.psum(out, "sc")[:, :, :m_occ]
 
 
 # ------------------------------------------------- stage B': mf + LS (sc)
@@ -727,13 +699,17 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         in_specs=(spec_t, P()),
         out_specs=P(None, None),
     )
+    # equalize fuses into the payload stage whenever the detector is
+    # per-symbol (everything except the cross-symbol Alamouti/tracking
+    # tails): one grid assembly instead of two
+    fuse_eq = cfg.mode != CommMode.ALAMOUTI and not cfg.track_channel
     payload_sharded = jax.shard_map(
         functools.partial(
             _payload_stage, cfg=cfg, n_time=n_time, n_sc=n_sc,
-            occ_idx=occ_idx,
+            occ_idx=occ_idx, fuse_eq=fuse_eq,
         ),
         mesh=mesh,
-        in_specs=(spec_t, P()),
+        in_specs=(spec_t, P(), P(None, None, None), P()),
         out_specs=P(None, None, None),
     )
     mf_sharded = jax.shard_map(
@@ -749,12 +725,6 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         mesh=mesh,
         in_specs=(P(None, None), P(None, None)),
         out_specs=(P(None, None, None), P()),
-    )
-    equalize_sharded = jax.shard_map(
-        functools.partial(_equalize_stage, cfg=cfg, n_sc=n_sc),
-        mesh=mesh,
-        in_specs=(P(None, None, None), P(None, None, None), P()),
-        out_specs=P(None, None, None),
     )
 
     def run(iq: jax.Array) -> ShardedDecodeResult:
@@ -823,18 +793,22 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
             G = smooth.smooth_channel_estimate(G, cfg)
         G_occ = G[occ_idx]
 
-        # ---- stage C: payload CP-strip + FFT, striped over time x sc ----
+        # ---- stage C: payload CP-strip + FFT (+ fused equalize for the
+        # per-symbol detectors), striped over time x sc ----
         decode_start = (ac_idx[S - 1, -1] + M).astype(jnp.int32)
         pstart = jnp.maximum(rstart + decode_start, 0)
-        Ygrid = payload_sharded(iq, pstart)  # [pid, S, m_occ] raw, replicated
+        Ygrid = payload_sharded(iq, pstart, G_occ, noise_var)
         from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
-        if cfg.mode == CommMode.ALAMOUTI:
+        if fuse_eq:
+            out = Ygrid  # already equalized + postprocessed in-stage
+        elif cfg.mode == CommMode.ALAMOUTI:
             from rub_mimo_tpu.detect import alamouti as alamouti_mod
 
             dec1 = alamouti_mod.combine_pairs(Ygrid, G_occ)  # [pid, m_occ]
             eqg = jnp.zeros_like(Ygrid).at[:, 0, :].set(dec1)
-        elif cfg.track_channel:
+            out = postprocess_eq(eqg, cfg)
+        else:
             # identical lax.scan to the offline tracker over the identical
             # assembled Y grid -> bit-equal decisions (pipeline.rx:188-194);
             # the scan is batched [m_occ, S, S] solves, negligible next to
@@ -846,10 +820,7 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
                 block_frames=cfg.track_block_frames,
                 alpha=cfg.track_alpha,
             )
-        else:
-            # ---- stage D: per-subcarrier equalize, sharded over 'sc' ----
-            eqg = equalize_sharded(Ygrid, G_occ, noise_var)
-        out = postprocess_eq(eqg, cfg)
+            out = postprocess_eq(eqg, cfg)
         rx_sig = jnp.moveaxis(out, 0, 1).reshape(S, cfg.pid_max * m_occ)
         rx_data = constellation.demodulate(rx_sig, cfg.modulation)
         return ShardedDecodeResult(
