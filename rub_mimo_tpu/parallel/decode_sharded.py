@@ -143,6 +143,16 @@ def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     return best_t, starts_out, fired_any, corr_out
 
 
+def coarse_left_halo(cfg: ModemConfig) -> int:
+    """D-aligned LEFT-halo length of _coarse_sync_stage: covers the
+    coarse block sums, candidate refinement, and the run-start scan left
+    of any locally-owned fire.  build_sharded_decoder's coarse_ok gate
+    must require Tloc >= this (a shard smaller than its own halo slices
+    short and misaligns every ext/global coordinate — round-5 fix)."""
+    D = schmidl_cox._coarse_stride(cfg)
+    return -(-(3 * cfg.M + 2 * cfg.cp_len + 2 * D) // D) * D
+
+
 def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
                        T_total: int):
     """Coarse+refine per-shard sync (stage A fast path).
@@ -181,16 +191,29 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     me = jax.lax.axis_index("time")
     shard0 = me * Tloc
 
-    halo = -(-(3 * M + 2 * cp + 2 * D) // D) * D
+    halo = coarse_left_halo(cfg)
+    # RIGHT halo: a shard's last local pair owns fires in
+    # [shard_end, shard_end + cp], and the refine/run-start windows need
+    # exact metric there — i.e. samples through shard_end + cp.  Without
+    # it, cl/qs clamping duplicated the last in-shard metric sample and
+    # could fabricate (or misplace) a fire at the boundary (round-5 fix;
+    # the offline scan has no such seam, framing.cc:601-623).
+    rhalo = cp + 2
     if n_time > 1:
         left = jax.lax.ppermute(
             local[:, -halo:], "time", [(j, j + 1) for j in range(n_time - 1)]
         )
+        right = jax.lax.ppermute(
+            local[:, :rhalo], "time", [(j + 1, j) for j in range(n_time - 1)]
+        )
     else:
         left = jnp.zeros((S, halo), dtype=local.dtype)
+        right = jnp.zeros((S, rhalo), dtype=local.dtype)
     ext = jnp.concatenate([left, local], axis=-1)  # [S, halo + Tloc]
     Te = ext.shape[-1]
-    # global position of ext[:, i] is shard0 - halo + i
+    ext_r = jnp.concatenate([ext, right], axis=-1)  # [S, Te + rhalo]
+    Ter = ext_r.shape[-1]
+    # global position of ext[:, i] (and ext_r[:, i]) is shard0 - halo + i
 
     # ---- coarse pass over ext (same block-sum math as offline) ----
     nD = Te // D
@@ -252,9 +275,9 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
         t_e = halo + j * D + D - 1
         p0 = t_e - cp - 1
         start = p0 - (M - 1)
-        cl = jnp.clip(start, 0, Te - Lw)
+        cl = jnp.clip(start, 0, Ter - Lw)
         win = jax.lax.dynamic_slice(
-            ext, (jnp.int32(0), cl.astype(jnp.int32)), (S, Lw)
+            ext_r, (jnp.int32(0), cl.astype(jnp.int32)), (S, Lw)
         )
         m_w, _ = schmidl_cox._metric_from_slice(win, M)
         q0 = p0 - cl
@@ -307,9 +330,9 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     r_start_g = (t_loc_best - run_w + 1) - (M - 1)   # global
     r_cl_g = jnp.clip(r_start_g, 0, jnp.maximum(T_total - Lr, 0))
     r_cl_e = r_cl_g - shard0 + halo                  # ext coords (>= 0)
-    r_cl_e = jnp.clip(r_cl_e, 0, Te - Lr)
+    r_cl_e = jnp.clip(r_cl_e, 0, Ter - Lr)
     rwin = jax.lax.dynamic_slice(
-        ext, (jnp.int32(0), r_cl_e.astype(jnp.int32)), (S, Lr)
+        ext_r, (jnp.int32(0), r_cl_e.astype(jnp.int32)), (S, Lr)
     )
     m_r, corr_r = schmidl_cox._metric_from_slice(rwin, M)
     gpos_r = (shard0 - halo + r_cl_e) + jnp.arange(Lr, dtype=jnp.int32)
@@ -649,6 +672,10 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         and (cfg.M // 2) % D == 0
         and Tloc % D == 0
         and Tloc >= 2 * cfg.M + 4 * cfg.cp_len + 4 * D
+        # a shard must cover its own left halo: smaller shards would
+        # slice short in _coarse_sync_stage and silently misalign all
+        # ext/global coordinate math — they take the full-rate scan
+        and Tloc >= coarse_left_halo(cfg)
         and halo_impl == "ppermute"
     )
 

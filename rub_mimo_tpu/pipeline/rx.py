@@ -266,12 +266,16 @@ def strip_cp(
     return p[:, :, cp_len:]
 
 
-def _payload_fused_applicable(cfg: ModemConfig, all_occ: bool) -> bool:
-    """Geometry/mode gate for the fused Pallas payload-tail kernel
-    (kernels.payload_fused): plain W/gain equalize + hard demap on an
-    all-occupied grid.  Everything else uses the XLA tail."""
-    from rub_mimo_tpu.kernels.payload_fused import supported
-
+def _payload_kernel_applicable(
+    cfg: ModemConfig, all_occ: bool, impl: str
+) -> bool:
+    """Geometry/mode gate for the Pallas payload-tail kernels: plain
+    W/gain equalize + hard demap on an all-occupied grid.  Everything
+    else uses the XLA tail.  Each impl is gated on ITS OWN kernel's
+    geometry predicate — eq_demap accepts any M % 128 == 0 while the
+    fused FFT needs M/128 in {4,8,16,32} (round-5 fix: gating eqdemap
+    through the fused predicate silently dropped valid geometries like
+    M=384 to the XLA tail)."""
     if not all_occ:
         return False
     if cfg.mode != CommMode.RX_ZF:
@@ -280,6 +284,10 @@ def _payload_fused_applicable(cfg: ModemConfig, all_occ: bool) -> bool:
         return False
     if cfg.track_channel or cfg.track_phase:
         return False
+    if impl == "eqdemap":
+        from rub_mimo_tpu.kernels.eq_demap import supported
+    else:
+        from rub_mimo_tpu.kernels.payload_fused import supported
     table = constellation.table(cfg.modulation)
     return supported(cfg.M, cfg.M_occupied, cfg.num_streams, len(table))
 
@@ -430,7 +438,7 @@ def decode(
 
         payload_impl = best_impl("payload", jax.default_backend())
     if (payload_impl in ("fused", "eqdemap")
-            and _payload_fused_applicable(cfg, _all_occ)):
+            and _payload_kernel_applicable(cfg, _all_occ, payload_impl)):
         # Pallas payload tails (same math as the XLA path below, same
         # contraction order; decisions equality-gated by
         # ``bench.py --check`` like every dispatched impl):

@@ -62,17 +62,30 @@ def normalized_s0_score(ext: jax.Array, cfg: ModemConfig, n_pos: int) -> jax.Arr
     e_in = (jnp.real(ext) ** 2 + jnp.imag(ext) ** 2).astype(jnp.float32)
     e_win = moving_sum(e_in, M)  # energy of ext[i-M+1 .. i]
     e_fwd = jnp.roll(e_win, -(M - 1), axis=-1)[:, :n_pos]
-    # relative denominator floor: windows over SILENT spans (zero
-    # padding, inter-burst gaps) have ~zero measured energy but pick up
-    # FFT-roundtrip residue in c2 (~1e-8 of the capture's energy), so a
-    # bare epsilon lets score = residue/eps explode to ~1e12 and outvote
-    # the real peak (round-4 regression when shard_capture started
-    # zero-padding up to n_time*128).  Flooring at 1e-6 of the largest
-    # window energy caps silent-window scores at ~1e-2 while leaving
-    # every real window's score untouched; an all-zero input has exactly
-    # zero c2, so the 1e-20 keeps that case 0/eps = 0.
+    # NOISE-REFERENCED denominator floor: windows over SILENT spans
+    # (zero padding, inter-burst gaps, decode_all's erased regions) have
+    # ~zero measured energy but pick up FFT-roundtrip residue in c2, so
+    # a bare epsilon lets score = residue/eps explode to ~1e12 and
+    # outvote the real peak (round-4 regression when shard_capture
+    # started zero-padding).  Round 4 floored at 1e-6 * max(den), but a
+    # max-referenced floor also deflates any GENUINE window more than
+    # 60 dB below the largest window energy (weak burst + strong
+    # interferer).  Round 5: floor at 1e-2 of the MEDIAN nonzero window
+    # energy — the noise level itself — which leaves every at-or-above-
+    # noise window untouched at any dynamic range (a burst riding on an
+    # interferer has at least the interferer's window energy, which is
+    # what the median tracks) while still capping silent-window residue
+    # scores.  An all-zero input has exactly zero c2, so the 1e-20
+    # keeps that case 0/eps = 0.
     den = jnp.sum(e_fwd, axis=0) * e_tmpl
-    floor = 1e-6 * jnp.max(den)
+    mx = jnp.max(den)
+    nz = den > 1e-12 * mx
+    n_nz = jnp.sum(nz)
+    med = jnp.sort(jnp.where(nz, den, jnp.inf))[
+        jnp.clip(n_nz // 2, 0, den.shape[-1] - 1)
+    ]
+    med = jnp.where(n_nz > 0, med, mx)
+    floor = 1e-2 * med
     return jnp.sum(c2, axis=0) / jnp.maximum(den, floor + 1e-20)
 
 

@@ -74,6 +74,107 @@ def test_burst_straddles_shard_boundary():
     assert hit
 
 
+def test_shard_smaller_than_halo_takes_full_scan():
+    """Round-5 regression (ADVICE high #1): shards sized between the old
+    coarse_ok threshold and the coarse stage's own left halo silently
+    truncated `local[:, -halo:]` and misaligned every ext/global
+    coordinate.  Such shard sizes must take the full-rate scan and match
+    offline exactly."""
+    from rub_mimo_tpu.config import tiny_config
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_config(pid_max=4, bit_exact=False)
+    halo = decode_sharded.coarse_left_halo(cfg)          # 240 at tiny dims
+    old_gate = (2 * cfg.M + 4 * cfg.cp_len
+                + 4 * schmidl_cox._coarse_stride(cfg))   # 224
+    D = schmidl_cox._coarse_stride(cfg)
+    # a shard size in the bug window [old_gate, halo), D-aligned
+    Tloc = ((old_gate + D - 1) // D + 1) * D
+    assert old_gate <= Tloc < halo, (Tloc, old_gate, halo)
+    n_time = 8
+    T = n_time * Tloc
+
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=300, seed=11)
+    sim, tx, _ = simulator.simulate_capture(cfg, spec)
+    cap = np.zeros((cfg.num_streams, T), np.complex64)
+    n = min(sim.shape[-1], T)
+    cap[:, :n] = np.asarray(sim)[:, :n]
+
+    ref = rx.decode(jnp.asarray(cap), cfg)
+    mesh = mesh_mod.make_mesh(n_time, 1)
+    iq = jax.device_put(
+        jnp.asarray(cap), NamedSharding(mesh, P(None, "time"))
+    )
+    dec = decode_sharded.build_sharded_decoder(cfg, mesh, T)
+    out = dec(iq)
+    assert bool(ref.synced)
+    assert bool(out.synced)
+    assert int(out.sync_index) == int(ref.sync_index)
+    assert int(out.sync_sample) == int(ref.sync_sample)
+    np.testing.assert_array_equal(np.asarray(out.rx_data),
+                                  np.asarray(ref.rx_data))
+
+
+def test_fire_past_shard_boundary_matches_offline():
+    """Round-5 regression (ADVICE high #2): a shard's last local pair
+    owns fires in [shard_end, shard_end + cp]; without a right halo the
+    refine window clamped and duplicated the last in-shard metric
+    sample, fabricating/misplacing boundary fires.  Sweep the burst so
+    fires land on both sides of a 2-way boundary and require exact
+    agreement with offline."""
+    from rub_mimo_tpu.config import tiny_config
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_config(pid_max=4, bit_exact=False)
+    T = 4096
+    Tloc = T // 2
+    assert Tloc >= decode_sharded.coarse_left_halo(cfg)
+    mesh = mesh_mod.make_mesh(2, 1)
+    dec = decode_sharded.build_sharded_decoder(cfg, mesh, T)
+
+    def run(delay, seed):
+        spec = simulator.ChannelSpec(snr_db=30.0, delay=delay, seed=seed)
+        sim, tx, _ = simulator.simulate_capture(cfg, spec)
+        cap = np.zeros((cfg.num_streams, T), np.complex64)
+        n = min(sim.shape[-1], T)
+        cap[:, :n] = np.asarray(sim)[:, :n]
+        ref = rx.decode(jnp.asarray(cap), cfg)
+        iq = jax.device_put(
+            jnp.asarray(cap), NamedSharding(mesh, P(None, "time"))
+        )
+        return ref, dec(iq)
+
+    # probe: locate the fire for a reference delay, then sweep the
+    # burst so fires land in [boundary - 2D, boundary + cp]
+    D = schmidl_cox._coarse_stride(cfg)
+    ref0, _ = run(400, seed=13)
+    assert bool(ref0.synced)
+    t0 = int(ref0.sync_sample)
+    crossed = 0
+    checked = 0
+    for target in range(Tloc - 2 * D, Tloc + cfg.cp_len, 5):
+        delay = 400 + target - t0
+        if delay < 0:
+            continue
+        ref, out = run(delay, seed=13)
+        if not bool(ref.synced):
+            continue
+        checked += 1
+        if int(ref.sync_sample) >= Tloc:
+            crossed += 1
+        assert bool(out.synced), f"target {target}"
+        assert int(out.sync_sample) == int(ref.sync_sample), (
+            f"target {target}: sharded {int(out.sync_sample)} "
+            f"vs offline {int(ref.sync_sample)}"
+        )
+        assert int(out.sync_index) == int(ref.sync_index), f"target {target}"
+        np.testing.assert_array_equal(np.asarray(out.rx_data),
+                                      np.asarray(ref.rx_data))
+    assert checked >= 5
+    # the sweep must actually exercise past-boundary fires
+    assert crossed >= 1
+
+
 @pytest.mark.slow
 def test_candidate_overflow_falls_back():
     """> K candidate blips before the real burst: the sharded coarse
