@@ -22,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import json
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 class CommMode(enum.Enum):
@@ -123,6 +123,17 @@ class ModemConfig:
 
     # --- sync (mimo/config.h:87) ---
     plateau_threshold: float = 0.95
+    # Robust-mode quorum plateau rule (new capability): fire when at
+    # least sync_quorum streams each hold a metric run longer than
+    # cp_len, instead of the reference's ALL-streams rule
+    # (framing.cc:601-623).  At 4+ rx streams the all-streams rule is
+    # gated by the weakest rx<-tx0 link (S0 is transmitted on tx0 only),
+    # so a faded row silently blocks acquisition; a quorum of e.g. 3/4
+    # keeps the plateau detector usable without the S0-xcorr fallback.
+    # None = all streams (the reference rule; required by bit_exact).
+    # sync_index is the floor-mean of the run starts of the streams
+    # satisfying the rule at the fire sample.
+    sync_quorum: Optional[int] = None
 
     # --- preamble LFSRs (mimo/config.h:70-75) ---
     lfsr_small_length: int = LFSR_SMALL_LENGTH
@@ -317,6 +328,13 @@ class ModemConfig:
             raise ValueError("siso_tx/siso_rx out of range")
         if not (0.0 < self.plateau_threshold):
             raise ValueError("plateau_threshold must be positive")
+        if self.sync_quorum is not None:
+            if not (1 <= self.sync_quorum <= self.num_streams):
+                raise ValueError("sync_quorum must be in [1, num_streams]")
+            if self.bit_exact and self.sync_quorum != self.num_streams:
+                raise ValueError(
+                    "bit_exact requires the reference's all-streams "
+                    "plateau rule (sync_quorum=None)")
         if self.timing_mode not in ("joint", "per_code"):
             raise ValueError("timing_mode must be 'joint' or 'per_code'")
         if self.track_channel and self.mode not in (

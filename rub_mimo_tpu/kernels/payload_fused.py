@@ -64,6 +64,24 @@ def supported(M: int, m_occ: int, n_streams: int, arity: int) -> bool:
     return arity <= 64
 
 
+def packed_perm(M: int) -> np.ndarray:
+    """Static subcarrier permutation of the ``packed=True`` output
+    layout: natural = packed[..., perm] with
+    perm[sc] = 128*(sc % N1) + sc // N1.
+
+    The packed layout is the kernel's own [c, k1, k2] tile order
+    flattened as sc' = 128*k1 + k2 (k1 = sc mod N1 from the first DFT
+    stage, k2 = sc div N1 from the second) — the order the FFT
+    *produces*; emitting it directly removes the epilogue relayout that
+    made the fused kernel tie in round 4 (docs/BENCHMARKS.md).  Scoring
+    and any natural-order consumer apply this (tiny, static) gather —
+    SER/BER/EVM are permutation-invariant, so the hot serving path
+    never pays a relayout."""
+    n1d = M // 128
+    sc = np.arange(M)
+    return (128 * (sc % n1d) + sc // n1d).astype(np.int32)
+
+
 def _consts(M: int):
     n1d = M // 128
     pack = 128 // n1d
@@ -95,7 +113,12 @@ def pack_tile(v: np.ndarray | jax.Array, M: int):
 
 
 def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
-            er_ref, ei_ref, d_ref, *, S, M, cr, ci, cb):
+            *out_refs, S, M, cr, ci, cb, packed, emit_sig):
+    if emit_sig:
+        er_ref, ei_ref, d_ref = out_refs
+    else:
+        (d_ref,) = out_refs
+        er_ref = ei_ref = None
     """One grid step processes PACK frames: every tensor is a [128,128]
     f32 tile — no lane-dim splits/merges, no tiles/concats (this
     toolchain's Mosaic either crashes (HTTP 500) or compiles for
@@ -153,23 +176,40 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
             best = jnp.where(take, sc, best)
             idx = jnp.where(take, k, idx)
 
-        # outputs in k1-major layout [k1, c(frame), k2] — a pure row
-        # split of the packed [(pack*k1 + c), k2] tile (legal in Mosaic,
-        # unlike lane-dim merges); XLA's epilogue transpose
-        # (0,2,3,1)+reshape to natural subcarrier order is then free
-        # (measured at baseline cost, vs ~0.3 ms/array for unpacking a
-        # row-packed 2D layout)
-        er_ref[out] = ar.reshape(n1d, pack, 128)
-        ei_ref[out] = ai.reshape(n1d, pack, 128)
-        d_ref[out] = idx.astype(jnp.int8).reshape(n1d, pack, 128)
+        if packed:
+            # frame-major [c(frame), k1, k2] via an in-kernel sublane
+            # transpose (legal in Mosaic; probed) — the [S, npad, n1d,
+            # 128] output then reshapes FREE to [S, npad, M'] with
+            # sc' = 128*k1 + k2, the ``packed_perm`` layout.  No XLA
+            # epilogue relayout at all: this is what lets the fused
+            # kernel's 0.207 ms replace ~1.4 ms of XLA payload math
+            # instead of tying (round 5; VERDICT r4 item 1 route (a)).
+            if emit_sig:
+                er_ref[out] = jnp.transpose(ar.reshape(n1d, pack, 128),
+                                            (1, 0, 2))
+                ei_ref[out] = jnp.transpose(ai.reshape(n1d, pack, 128),
+                                            (1, 0, 2))
+            d_ref[out] = jnp.transpose(
+                idx.astype(jnp.int8).reshape(n1d, pack, 128), (1, 0, 2))
+        else:
+            # outputs in k1-major layout [k1, c(frame), k2] — a pure row
+            # split of the packed [(pack*k1 + c), k2] tile (legal in
+            # Mosaic, unlike lane-dim merges); XLA's epilogue transpose
+            # (0,2,3,1)+reshape to natural subcarrier order is then free
+            # (measured at baseline cost, vs ~0.3 ms/array for unpacking
+            # a row-packed 2D layout)
+            er_ref[out] = ar.reshape(n1d, pack, 128)
+            ei_ref[out] = ai.reshape(n1d, pack, 128)
+            d_ref[out] = idx.astype(jnp.int8).reshape(n1d, pack, 128)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("M", "S", "n_sym", "table", "interpret"),
+    static_argnames=("M", "S", "n_sym", "table", "interpret", "packed",
+                     "emit_sig"),
 )
 def _payload_fused(xr, xi, wtr, wti, gtile, *, M, S, n_sym, table,
-                   interpret):
+                   interpret, packed=False, emit_sig=True):
     n1d = M // 128
     pack = 128 // n1d
     # one grid step per PACK frames; pad n_sym to a multiple of PACK
@@ -186,43 +226,62 @@ def _payload_fused(xr, xi, wtr, wti, gtile, *, M, S, n_sym, table,
     cb = tuple(np.float32(v) for v in (np.abs(t) ** 2 / 2.0))
     fft_consts = jnp.asarray(np.stack(_consts(M)))  # [6, 128, 128]
 
-    kern = functools.partial(_kernel, S=S, M=M, cr=cr, ci=ci, cb=cb)
+    kern = functools.partial(_kernel, S=S, M=M, cr=cr, ci=ci, cb=cb,
+                             packed=packed, emit_sig=emit_sig)
     xspec = pl.BlockSpec((S, pack, M), lambda i: (0, i, 0))
     wspec = pl.BlockSpec((S, S, 128, 128), lambda i: (0, 0, 0, 0))
     gspec = pl.BlockSpec((128, 128), lambda i: (0, 0))
     fspec = pl.BlockSpec((6, 128, 128), lambda i: (0, 0, 0))
-    ospec = pl.BlockSpec((S, n1d, pack, 128), lambda i: (0, 0, i, 0))
-    er, ei, d = pl.pallas_call(
+    if packed:
+        ospec = pl.BlockSpec((S, pack, n1d, 128), lambda i: (0, i, 0, 0))
+        oshape = (S, npad, n1d, 128)
+    else:
+        ospec = pl.BlockSpec((S, n1d, pack, 128), lambda i: (0, 0, i, 0))
+        oshape = (S, n1d, npad, 128)
+    sig_specs = [ospec, ospec] if emit_sig else []
+    sig_shapes = ([jax.ShapeDtypeStruct(oshape, jnp.float32)] * 2
+                  if emit_sig else [])
+    outs = pl.pallas_call(
         kern,
         grid=(nstep,),
         in_specs=[xspec, xspec, wspec, wspec, gspec, fspec],
-        out_specs=[ospec, ospec, ospec],
-        out_shape=[
-            jax.ShapeDtypeStruct((S, n1d, npad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((S, n1d, npad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((S, n1d, npad, 128), jnp.int8),
-        ],
+        out_specs=sig_specs + [ospec],
+        out_shape=sig_shapes + [jax.ShapeDtypeStruct(oshape, jnp.int8)],
         interpret=interpret,
     )(xr, xi, wtr, wti, gtile, fft_consts)
+    if emit_sig:
+        er, ei, d = outs
+    else:
+        (d,) = outs
+        er = ei = None
 
-    def unpack(t):
-        # k1-major [S, k1, f, k2] -> natural [S, npad, M], sc = n1d*k2+k1
-        return jnp.transpose(t, (0, 2, 3, 1)).reshape(S, npad, M)
+    if packed:
+        # frame-major [S, f, k1, k2]: the flatten to [S, npad, M'] is a
+        # plain row-major view (sc' = 128*k1 + k2 — the packed_perm
+        # layout), so NOTHING here moves data
+        def unpack(t):
+            return t.reshape(S, npad, M)
+    else:
+        def unpack(t):
+            # k1-major [S, k1, f, k2] -> natural [S, npad, M],
+            # sc = n1d*k2+k1
+            return jnp.transpose(t, (0, 2, 3, 1)).reshape(S, npad, M)
 
     # combine the planes BEFORE the relayout: one c64 transpose instead
     # of two f32 ones; demap indices ride the relayout as int8 (4x less
     # HBM traffic) and widen to the API int32 afterwards
-    sig = unpack(jax.lax.complex(er, ei))
+    sig = unpack(jax.lax.complex(er, ei)) if emit_sig else None
     d = unpack(d).astype(jnp.int32)
     if npad != n_sym:
-        sig = sig[:, :n_sym]
+        sig = sig[:, :n_sym] if emit_sig else None
         d = d[:, :n_sym]
     return sig, d
 
 
 def payload_fused(x_t: jax.Array, W: jax.Array, gain: jax.Array,
                   table: np.ndarray, dft_norm: float,
-                  interpret: bool = False):
+                  interpret: bool = False, packed: bool = False,
+                  emit_sig: bool = True):
     """x_t: [S, n_sym, M] complex64 CP-stripped payload symbols.
     W: [M, out, rx] complex64, gain: [M] float32 (all-occupied geometry).
     table: constellation points (numpy, static).
@@ -230,6 +289,16 @@ def payload_fused(x_t: jax.Array, W: jax.Array, gain: jax.Array,
     Returns (rx_sig [S, n_sym*M] complex64, rx_data [S, n_sym*M] int32),
     matching  eq = (sum_j W[sc,out,j] X[j,sc]) * gain[sc]  with
     X = fft(x_t) * dft_norm, demapped nearest-neighbour.
+
+    packed=True emits both outputs in the kernel's own subcarrier order
+    (see ``packed_perm``: natural = out[..., perm] per frame) with zero
+    epilogue relayout — the layout-for-speed contract of the
+    "fused_packed" payload impl.
+
+    emit_sig=False (serving mode) skips the equalized-symbol outputs
+    entirely — the kernel writes only the int8 decisions, saving their
+    HBM writes plus the plane-combine/retile epilogue; returns
+    (None, rx_data).
     """
     S, n_sym, M = x_t.shape
     xr = jnp.real(x_t).astype(jnp.float32)
@@ -251,5 +320,7 @@ def payload_fused(x_t: jax.Array, W: jax.Array, gain: jax.Array,
     sig, d = _payload_fused(
         xr, xi, wtr, wti, gtile, M=M, S=S, n_sym=n_sym,
         table=tuple(np.asarray(table).tolist()), interpret=interpret,
+        packed=packed, emit_sig=emit_sig,
     )
-    return sig.reshape(S, n_sym * M), d.reshape(S, n_sym * M)
+    sig = sig.reshape(S, n_sym * M) if emit_sig else None
+    return sig, d.reshape(S, n_sym * M)

@@ -119,11 +119,15 @@ def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     last_below = jnp.maximum(local_cm, prefix[:, None])
     run_start = last_below + 1
     cond = above & ((gidx[None, :] - run_start) > cfg.cp_len)
-    cond_all = jnp.all(cond, axis=0)
+    # all-streams rule, or >= sync_quorum streams (robust mode)
+    q = S if cfg.sync_quorum is None else cfg.sync_quorum
+    cond_all = jnp.sum(cond, axis=0) >= q
     fired = jnp.any(cond_all)
     t_loc = jnp.argmax(cond_all).astype(jnp.int32)
     t_global = jnp.where(fired, gidx[t_loc], _BIG)
     starts = run_start[:, t_loc]
+    pmask = jnp.where(fired & (q < S), cond[:, t_loc],
+                      jnp.ones((S,), jnp.bool_))
 
     # global first-fire election, fully inside the shard_map: the winner is
     # the shard with the smallest fire sample; its run starts are broadcast
@@ -134,13 +138,19 @@ def _sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     starts_out = jax.lax.psum(
         jnp.where(win, starts, jnp.int32(0)), "time"
     )
+    pmask_out = jax.lax.psum(
+        jnp.where(win, pmask.astype(jnp.int32), jnp.int32(0)), "time"
+    )
+    pmask_out = jnp.where(fired_any, pmask_out > 0,
+                          jnp.ones((S,), jnp.bool_))
     # elect the complex S&C correlation at the fire sample (CFO source,
-    # matching schmidl_cox.synchronize's corr[:, t_star])
-    corr_at = corr[:, t_loc]
+    # matching schmidl_cox.synchronize's corr[:, t_star]); quorum mode
+    # combines only the participating streams
+    corr_at = jnp.where(pmask, corr[:, t_loc], 0)
     corr_out = jax.lax.psum(
         jnp.where(win, corr_at, jnp.complex64(0)), "time"
     )
-    return best_t, starts_out, fired_any, corr_out
+    return best_t, starts_out, fired_any, corr_out, pmask_out
 
 
 def coarse_left_halo(cfg: ModemConfig) -> int:
@@ -676,6 +686,10 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         # slice short in _coarse_sync_stage and silently misalign all
         # ext/global coordinate math — they take the full-rate scan
         and Tloc >= coarse_left_halo(cfg)
+        # the sharded coarse stage implements the all-streams rule only;
+        # quorum configs (robust 4x4) take the full-rate scan, which
+        # supports it
+        and cfg.sync_quorum is None
         and halo_impl == "ppermute"
     )
 
@@ -698,7 +712,8 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
             )
 
         def fast(_):
-            return best_t, starts, fired, corr
+            # all-streams rule (coarse_ok excludes quorum): full mask
+            return best_t, starts, fired, corr, jnp.ones((S,), jnp.bool_)
 
         return jax.lax.cond(need_full, full, fast, operand=None)
 
@@ -706,7 +721,7 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         _stage_a,
         mesh=mesh,
         in_specs=spec_t,
-        out_specs=(P(), P(None), P(), P(None)),
+        out_specs=(P(), P(None), P(), P(None), P(None)),
     )
     derotate_sharded = jax.shard_map(
         functools.partial(_derotate_stage, M=M),
@@ -756,9 +771,12 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
 
     def run(iq: jax.Array) -> ShardedDecodeResult:
         # ---- stage A ----
-        t_star, starts, synced, corr_at = sync_sharded(iq)
+        t_star, starts, synced, corr_at, pmask = sync_sharded(iq)
         t_star = jnp.where(synced, t_star, jnp.int32(0))
-        sync_index = (jnp.sum(starts) // S).astype(jnp.int32)
+        nmask = jnp.maximum(jnp.sum(pmask.astype(jnp.int32)), 1)
+        sync_index = (
+            jnp.sum(jnp.where(pmask, starts, 0)) // nmask
+        ).astype(jnp.int32)
         sync_index = jnp.where(synced, sync_index, jnp.int32(0))
         use_fb = jnp.bool_(False)
         if cfg.sync_fallback:

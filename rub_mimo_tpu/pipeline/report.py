@@ -80,6 +80,23 @@ def score(
     result = fetch_tree(result)  # one batched device->host conversion
     rx_data = np.asarray(result.rx_data)
     tx_data = np.asarray(tx_data)
+    if result.payload_perm is not None:
+        # payload_impl="fused_packed": outputs are per-frame permuted
+        # (natural = out[..., perm]); un-permute HOST-side so the hot
+        # decode path never pays the relayout the layout exists to avoid
+        perm = np.asarray(result.payload_perm)
+
+        def _unperm(a):
+            sh = a.shape
+            return np.ascontiguousarray(
+                a.reshape(sh[0], -1, perm.shape[0])[:, :, perm]
+            ).reshape(sh)
+
+        rx_data = _unperm(rx_data)
+        result = result._replace(
+            rx_sig=(None if result.rx_sig is None
+                    else _unperm(np.asarray(result.rx_sig)))
+        )
     m_occ = cfg.M_occupied
     n = cfg.pid_max * m_occ
     valid_sym = np.asarray(result.symbol_valid)

@@ -59,6 +59,14 @@ class DecodeResult(NamedTuple):
                                  # grid, kept when detector == ML so
                                  # fec.decode_payload_ml can form joint
                                  # soft LLRs from the lattice search
+    payload_perm: jax.Array | None = None
+                                 # int32[m_occ] — set ONLY by the
+                                 # explicit payload_impl="fused_packed":
+                                 # rx_sig/rx_data are per-frame PERMUTED
+                                 # (natural = out[..., perm]); scoring
+                                 # applies the gather host-side (SER/
+                                 # BER/EVM are permutation-invariant),
+                                 # so the hot path pays zero relayout
 
 
 def _extract_window(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
@@ -302,6 +310,7 @@ def decode(
     window_impl: str = "auto",
     cpstrip_impl: str = "auto",
     payload_impl: str = "auto",
+    keep_rx_sig: bool = True,
 ) -> DecodeResult:
     """Decode a whole capture. iq: [num_streams, T] complex64.
 
@@ -437,24 +446,38 @@ def decode(
         from rub_mimo_tpu.utils.impl_select import best_impl
 
         payload_impl = best_impl("payload", jax.default_backend())
-    if (payload_impl in ("fused", "eqdemap")
+    if (payload_impl in ("fused", "fused_packed", "eqdemap")
             and _payload_kernel_applicable(cfg, _all_occ, payload_impl)):
         # Pallas payload tails (same math as the XLA path below, same
         # contraction order; decisions equality-gated by
         # ``bench.py --check`` like every dispatched impl):
-        #   "fused"   — FFT + equalize + demap in one kernel
-        #               (kernels.payload_fused)
-        #   "eqdemap" — XLA FFT (already natural-order), then the
-        #               relayout-free equalize+demap kernel
-        #               (kernels.eq_demap)
+        #   "fused"        — FFT + equalize + demap in one kernel
+        #                    (kernels.payload_fused)
+        #   "fused_packed" — same kernel, outputs left in its packed
+        #                    subcarrier order (EXPLICIT opt-in only —
+        #                    never chosen by "auto"; DecodeResult
+        #                    .payload_perm carries the static gather
+        #                    back to natural order)
+        #   "eqdemap"      — XLA FFT (already natural-order), then the
+        #                    relayout-free equalize+demap kernel
+        #                    (kernels.eq_demap)
         interp = jax.default_backend() != "tpu"
         tab = np.asarray(constellation.table(cfg.modulation))
         norm = np.float32(1.0 / np.sqrt(m_occ))
-        if payload_impl == "fused":
-            from rub_mimo_tpu.kernels.payload_fused import payload_fused
+        payload_perm = None
+        if payload_impl in ("fused", "fused_packed"):
+            from rub_mimo_tpu.kernels.payload_fused import (
+                packed_perm, payload_fused)
 
+            packed = payload_impl == "fused_packed"
+            # serving mode: the equalized-symbol output is optional for
+            # the packed path — SER/BER need only the decisions, and the
+            # kernel can skip the sig planes' HBM writes + epilogue
             rx_sig, rx_data = payload_fused(
-                x_t, W, gain, tab, norm, interpret=interp)
+                x_t, W, gain, tab, norm, interpret=interp, packed=packed,
+                emit_sig=keep_rx_sig or not packed)
+            if packed:
+                payload_perm = jnp.asarray(packed_perm(M))
         else:
             from rub_mimo_tpu.kernels.eq_demap import eq_demap
 
@@ -478,6 +501,7 @@ def decode(
             rx_sig=rx_sig, rx_data=rx_data,
             symbol_valid=symbol_valid,
             metric=sync.metric, mf_traces=mf.traces, Y=None,
+            payload_perm=payload_perm,
         )
 
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
@@ -542,15 +566,63 @@ def decode(
 
 
 def make_decoder(cfg: ModemConfig, *, keep_debug: bool = False,
-                 mf_method: str = "xcorr"):
-    """jit-compiled decode closure for a fixed config."""
+                 mf_method: str = "xcorr", payload_impl: str = "auto",
+                 keep_rx_sig: bool = True, input_format: str = "complex"):
+    """jit-compiled decode closure for a fixed config.
+
+    payload_impl is forwarded verbatim; callers that can score permuted
+    output (bench.py, pipeline.report handle DecodeResult.payload_perm)
+    may pass "fused_packed" for the zero-relayout payload tail.  For
+    that impl the (static) permutation is attached OUTSIDE the jitted
+    program as a host numpy array, so it never costs a per-run device
+    copy.
+
+    keep_rx_sig=False (serving mode, packed path only) drops the
+    equalized-symbol output — the kernel writes only decisions.
+
+    input_format="planes": the closure takes (re, im) float32 planes
+    instead of one complex64 capture.  This is the device-native format
+    on the split-plane TPU backend (and the format every ingest path —
+    native ring, streaming, axon transfers — already produces); feeding
+    planes removes the module-start c64-split custom-calls + staging
+    copies XLA otherwise inserts (measured ~0.06 ms/decode)."""
     import functools
 
-    @functools.partial(jax.jit, static_argnames=())
-    def _decode(iq):
-        return decode(iq, cfg, keep_debug=keep_debug, mf_method=mf_method)
+    perm_np = None
+    if payload_impl == "fused_packed":
+        p = cfg.subcarrier_allocation()
+        _occ_np = np.asarray(sctype.occupied_indices(p))
+        all_occ = (_occ_np.size == cfg.M
+                   and np.array_equal(_occ_np, np.arange(cfg.M)))
+        if _payload_kernel_applicable(cfg, all_occ, payload_impl):
+            from rub_mimo_tpu.kernels.payload_fused import packed_perm
 
-    return _decode
+            perm_np = packed_perm(cfg.M)
+
+    def _run(iq):
+        r = decode(iq, cfg, keep_debug=keep_debug, mf_method=mf_method,
+                   payload_impl=payload_impl, keep_rx_sig=keep_rx_sig)
+        # the perm is static — keep it out of the device program
+        return r._replace(payload_perm=None)
+
+    if input_format == "planes":
+        @functools.partial(jax.jit, static_argnames=())
+        def _decode(re, im):
+            return _run(jax.lax.complex(re, im))
+    elif input_format == "complex":
+        @functools.partial(jax.jit, static_argnames=())
+        def _decode(iq):
+            return _run(iq)
+    else:
+        raise ValueError(f"unknown input_format {input_format!r}")
+
+    if perm_np is None:
+        return _decode
+
+    def _with_perm(*args):
+        return _decode(*args)._replace(payload_perm=perm_np)
+
+    return _with_perm
 
 
 def decode_all(

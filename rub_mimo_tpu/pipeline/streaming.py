@@ -221,13 +221,20 @@ class StreamingDecoder:
             lb = jnp.maximum(local_cm, last_below[:, None])
             run_start = lb + 1
             cond = above & ((gidx[None, :] - run_start) > cp)
-            cond_all = jnp.all(cond, axis=0)
+            # all-streams rule, or >= sync_quorum streams (robust mode)
+            q = (cfg.num_streams if cfg.sync_quorum is None
+                 else cfg.sync_quorum)
+            cond_all = jnp.sum(cond, axis=0) >= q
             fired = jnp.any(cond_all)
             t_loc = jnp.argmax(cond_all).astype(jnp.int32)
             starts = run_start[:, t_loc]
             t_star = gidx[t_loc]
             corr = corr_ext[:, M - 1 :]
             corr_at = corr[:, t_loc]
+            # participation mask (all-true under the all-streams rule):
+            # drives the quorum-mode sync_index / CFO combining
+            pmask = jnp.where(fired, cond[:, t_loc],
+                              jnp.ones((S,), jnp.bool_))
             return (
                 ext[:, -(M - 1):],
                 lb[:, -1],
@@ -235,6 +242,7 @@ class StreamingDecoder:
                 t_star,
                 starts,
                 corr_at,
+                pmask.astype(jnp.int32),
             )
 
         @jax.jit
@@ -706,7 +714,7 @@ class StreamingDecoder:
         if self.phase == "seek":
             prev_tail = self._tail  # fb shares the (M-1)-sample history
             (self._tail, self._last_below, fired, t_star, starts,
-             corr_at) = self._sync_step(
+             corr_at, pmask) = self._sync_step(
                 self._tail, self._last_below, chunk, jnp.int32(gpos)
             )
             fired_h = bool(int(to_host(fired)))
@@ -725,13 +733,15 @@ class StreamingDecoder:
                 self._cur_synced = True
                 self._fb_used = fb_fired
                 if fired_h:
+                    mk = np.asarray(to_host(pmask)).astype(bool)
+                    st = np.asarray(to_host(starts))
                     self._cur_sync_index = int(
-                        int(to_host(jnp.sum(starts))) // cfg.num_streams
+                        st[mk].sum() // max(int(mk.sum()), 1)
                     )
                     if cfg.correct_cfo:
-                        ca = to_host(corr_at)
+                        ca = np.asarray(to_host(corr_at))
                         self._eps0 = float(
-                            np.angle(np.sum(-ca)) / np.pi
+                            np.angle(np.sum(-ca[mk])) / np.pi
                         )
                 self.region_start = self._cur_sync_index - cfg.symbol_len
                 self.phase = "collect"

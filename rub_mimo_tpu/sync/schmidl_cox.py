@@ -70,18 +70,25 @@ def plateau_scan(
     metric: jax.Array,
     cp_len: int,
     threshold: float,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    quorum: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Vectorized replication of the serial plateau state machine.
 
-    metric: [streams, T].  Returns (synced, t_star, run_start[streams, T_at_t*]).
+    metric: [streams, T].  Returns (synced, t_star,
+    run_start[streams]_at_t*, participates[streams]_at_t*).
 
     For each stream the current run start at t is (last index with
-    metric <= threshold before t) + 1; the fire condition at t is
-      all_s [ metric[s,t] > thr  AND  t - run_start[s,t] > cp_len ]
-    and t* is the first t where it holds (framing.cc:601-623: with
-    in_plateau, plateau_end == t and plateau_start == run_start).
+    metric <= threshold before t) + 1; the per-stream condition at t is
+      metric[s,t] > thr  AND  t - run_start[s,t] > cp_len
+    The fire condition is ALL streams satisfying it (framing.cc:601-623:
+    with in_plateau, plateau_end == t and plateau_start == run_start),
+    or — robust mode — at least ``quorum`` streams (cfg.sync_quorum).
+    t* is the first firing t; ``participates`` marks which streams
+    satisfied the condition there (all of them under the all-streams
+    rule).
     """
     S, T = metric.shape
+    q = S if quorum is None else quorum
     above = metric > threshold  # NaN > thr -> False, same as C float
     idx = jnp.arange(T, dtype=jnp.int32)[None, :]
     # last index not-above (or -1); cummax of masked indices
@@ -90,11 +97,19 @@ def plateau_scan(
     )
     run_start = last_below + 1
     cond = above & ((idx - run_start) > cp_len)
-    fire = jnp.all(cond, axis=0)
+    fire = jnp.sum(cond, axis=0) >= q
     t_star = jnp.argmax(fire).astype(jnp.int32)
     synced = fire[t_star]
     starts = run_start[:, t_star]
-    return synced, t_star, starts
+    return synced, t_star, starts, cond[:, t_star]
+
+
+def sync_index_from(starts: jax.Array, mask: jax.Array) -> jax.Array:
+    """floor-mean of the PARTICIPATING streams' run starts — identical
+    to the reference's all-streams mean (framing.cc:616) when the mask
+    is full (quorum == num_streams / None)."""
+    n = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    return (jnp.sum(jnp.where(mask, starts, 0)) // n).astype(jnp.int32)
 
 
 def _coarse_stride(cfg: ModemConfig) -> int:
@@ -193,6 +208,7 @@ def _synchronize_coarse(
     M2 = M // 2
     cp = cfg.cp_len
     thr = cfg.plateau_threshold
+    q = S if cfg.sync_quorum is None else cfg.sync_quorum
     D = _coarse_stride(cfg)
     K = 4
     if D < 2 or M2 % D or T < 2 * M + 4 * cp + 4 * D:
@@ -267,7 +283,10 @@ def _synchronize_coarse(
         (jnp.real(corr_c) ** 2 + jnp.imag(corr_c) ** 2).astype(jnp.float32)
         / (e_c * e_c)
     )
-    all_c = jnp.all(metric_c > thr, axis=0)            # [nD]
+    # >= q streams above at a coarse point (q = S: the all-streams rule;
+    # candidate NECESSITY holds per participating stream — each of the
+    # q streams' (cp+1)-runs covers two consecutive aligned points)
+    all_c = jnp.sum(metric_c > thr, axis=0) >= q       # [nD]
     pair = all_c[:-1] & all_c[1:]                      # pair j <-> (j, j+1)
     n_cand = jnp.sum(pair)
     big = jnp.int32(T + 10 * M)
@@ -298,16 +317,17 @@ def _synchronize_coarse(
         q0 = p0 - cl                                   # q of position p0
         qs = jnp.clip(q0 + jnp.arange(Lp, dtype=jnp.int32), 0, Lw - 1)
         pos = cl + qs
-        above = jnp.all(
-            jnp.take_along_axis(
-                m_w, jnp.broadcast_to(qs[None, :], (S, Lp)), axis=1
-            ) > thr,
-            axis=0,
-        )
-        # fire at p <=> above for the cp+2 window ending at p
-        runlen = jnp.cumsum(above.astype(jnp.int32))
-        runlen = runlen - jnp.pad(runlen[: -(cp + 2)], (cp + 2, 0))
-        fire = (runlen >= cp + 2) & (pos >= t_i) & (pos < T)
+        above_s = jnp.take_along_axis(
+            m_w, jnp.broadcast_to(qs[None, :], (S, Lp)), axis=1
+        ) > thr                                        # [S, Lp]
+        # fire at p <=> >= q streams each above for the whole cp+2
+        # window ending at p (per-stream runs — NOT "q streams above at
+        # each position", which would let participants rotate); for
+        # q = S this is bitwise the old all-streams formulation
+        rl = jnp.cumsum(above_s.astype(jnp.int32), axis=1)
+        rl = rl - jnp.pad(rl[:, : -(cp + 2)], ((0, 0), (cp + 2, 0)))
+        fire = ((jnp.sum(rl >= cp + 2, axis=0) >= q)
+                & (pos >= t_i) & (pos < T))
         p_fire = jnp.min(jnp.where(fire, pos, big))
         ok = (j < nD - 1) & (t_i + cp < T)             # in-range candidate
         return jnp.where(ok, p_fire, big)
@@ -324,10 +344,11 @@ def _synchronize_coarse(
     m_t, _ = _metric_from_slice(twin, M)
     qs_t = (M - 1) + jnp.arange(Wt + cp + 2, dtype=jnp.int32)
     pos_t = tail_cl + qs_t
-    above_t = jnp.all(m_t[:, qs_t] > thr, axis=0)
-    rl_t = jnp.cumsum(above_t.astype(jnp.int32))
-    rl_t = rl_t - jnp.pad(rl_t[: -(cp + 2)], (cp + 2, 0))
-    fire_t = (rl_t >= cp + 2) & (pos_t >= T - 2 * D - cp) & (pos_t < T)
+    above_t = m_t[:, qs_t] > thr                       # [S, Wt+cp+2]
+    rl_t = jnp.cumsum(above_t.astype(jnp.int32), axis=1)
+    rl_t = rl_t - jnp.pad(rl_t[:, : -(cp + 2)], ((0, 0), (cp + 2, 0)))
+    fire_t = ((jnp.sum(rl_t >= cp + 2, axis=0) >= q)
+              & (pos_t >= T - 2 * D - cp) & (pos_t < T))
     p_tail = jnp.min(jnp.where(fire_t, pos_t, big))
 
     t_star = jnp.minimum(jnp.min(fires), p_tail)
@@ -357,20 +378,27 @@ def _synchronize_coarse(
         & (t_star - run_w + 1 > 0)
         & jnp.any(last_below == -1)
     )
-    # corr at t* from the same window (t* is inside it by construction)
+    # corr + metric at t* from the same window (t* is inside it by
+    # construction); the metric drives the quorum participation mask
     onehot = (pos_r == t_star).astype(jnp.float32)
     c_at = jnp.sum(corr_r * onehot[None, :], axis=1)
+    m_at = jnp.sum(m_r * onehot[None, :], axis=1)
+    mask = (m_at > thr) & ((t_star - starts) > cp)
 
     # no-fire defaults must match the full scan's (t*=0 -> corr[0]=0,
     # last_below[.,0]=0 -> starts=1)
     starts = jnp.where(synced, starts, jnp.ones((S,), jnp.int32))
     c_at = jnp.where(synced, c_at, jnp.zeros((S,), c_at.dtype))
+    mask = mask | (q == S)  # all-streams rule: full mask, bit-identical
+    mask = mask & synced | (~synced)
 
     need_full = run_saturated | ((~synced) & (n_cand > K))
 
     def fast(_):
-        sync_index = (jnp.sum(starts) // S).astype(jnp.int32)
-        cfo_hat = jnp.angle(jnp.sum(-c_at)).astype(jnp.float32) / np.pi
+        sync_index = sync_index_from(starts, mask)
+        cfo_hat = jnp.angle(
+            jnp.sum(-jnp.where(mask, c_at, 0))
+        ).astype(jnp.float32) / np.pi
         return (synced, t_star, sync_index, starts,
                 jnp.broadcast_to(t_star, (S,)).astype(jnp.int32), cfo_hat)
 
@@ -397,11 +425,13 @@ def _synchronize_full(
     x: jax.Array, cfg: ModemConfig, keep_metric: bool, block: int
 ) -> SyncResult:
     metric, corr = sc_metric(x, cfg.M, block=block)
-    synced, t_star, starts = plateau_scan(
-        metric, cfg.cp_len, cfg.plateau_threshold
+    synced, t_star, starts, mask = plateau_scan(
+        metric, cfg.cp_len, cfg.plateau_threshold, cfg.sync_quorum
     )
-    sync_index = (jnp.sum(starts) // cfg.num_streams).astype(jnp.int32)
-    c_at = corr[:, t_star]
+    sync_index = sync_index_from(starts, mask)
+    # CFO from the participating streams' correlations only (identical
+    # to the all-streams sum under the reference rule)
+    c_at = jnp.where(mask, corr[:, t_star], 0)
     cfo_hat = jnp.angle(jnp.sum(-c_at)).astype(jnp.float32) / np.pi
     return SyncResult(
         synced=synced,
@@ -438,6 +468,10 @@ def synchronize(
         from rub_mimo_tpu.utils.impl_select import best_impl
 
         impl = best_impl("sync", jax.default_backend())
+    if cfg.sync_quorum is not None and impl == "pallas":
+        # the fused one-pass kernel hardcodes the all-streams rule;
+        # quorum configs take the coarse path instead
+        impl = "coarse"
     use_kernel = impl == "pallas"
     if impl in ("coarse_full", "coarse_full128") and not keep_metric:
         # plain coarse without the prefix early-exit: for vmapped

@@ -195,10 +195,24 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
             lambda impl: mk_decode(cpstrip_impl=impl),
         ),
         "payload": (
-            ["xla"] + (["fused", "eqdemap"] if on_tpu else []),
+            ["xla"] + (["fused", "eqdemap", "fused_packed"]
+                       if on_tpu else []),
             lambda impl: mk_decode(payload_impl=impl),
         ),
     }
+
+    # "fused_packed" emits rx_data in the kernel's packed subcarrier
+    # order (DecodeResult.payload_perm); equality vs the natural-order
+    # reference is checked through the static gather — check-time only,
+    # the measured decode itself never pays it
+    from rub_mimo_tpu.kernels.payload_fused import packed_perm
+
+    _pp = jnp.asarray(packed_perm(cfg.M))
+
+    @jax.jit
+    def _unperm(d):
+        sh = d.shape
+        return d.reshape(sh[0], -1, cfg.M_occupied)[:, :, _pp].reshape(sh)
 
     results: dict = {}
     for point, (impls, mk) in points.items():
@@ -218,8 +232,11 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
                 r = fn(capture)
                 # integer decisions only: floats (rx_sig, G) can differ
                 # in ulps between mathematically equal formulations
+                rxd = r.rx_data
+                if r.payload_perm is not None:
+                    rxd = _unperm(rxd)
                 cmp_tree = (r.synced, r.sync_index, r.sync_sample,
-                            r.ac_index, r.symbol_valid, r.rx_data)
+                            r.ac_index, r.symbol_valid, rxd)
                 if impl == fb[point]:
                     ref = cmp_tree
                 eq = ref is not None and _equal(cmp_tree, ref, exact=True)

@@ -46,6 +46,13 @@ FALLBACKS = {
     "payload": "xla",
 }
 
+# Impls that change the OUTPUT CONTRACT (not just speed): never chosen
+# by an "auto" dispatch — only by callers that opt in explicitly and
+# know how to consume the result (see DecodeResult.payload_perm).
+EXPLICIT_ONLY = {
+    "payload": frozenset({"fused_packed"}),
+}
+
 
 @functools.lru_cache(maxsize=1)
 def _load_table() -> dict:
@@ -61,14 +68,21 @@ def reload_table() -> None:
     _load_table.cache_clear()
 
 
-@functools.lru_cache(maxsize=32)
-def best_impl(point: str, backend: str) -> str:
+@functools.lru_cache(maxsize=64)
+def best_impl(point: str, backend: str,
+              include_explicit: bool = False) -> str:
     """Fastest measured-and-equal impl for a dispatch point, or the safe
-    fallback when this backend has no passing measurements."""
+    fallback when this backend has no passing measurements.
+
+    include_explicit=True also considers the EXPLICIT_ONLY impls (layout-
+    changing contracts) — for callers like bench.py that handle them."""
     fallback = FALLBACKS[point]
     entry = _load_table().get(backend, {}).get(point, {})
+    excluded = () if include_explicit else EXPLICIT_ONLY.get(point, ())
     best, best_ms = fallback, None
     for impl, rec in entry.items():
+        if impl in excluded:
+            continue
         if not isinstance(rec, dict) or not rec.get("equal", False):
             continue
         ms = rec.get("decode_ms", rec.get("device_ms"))

@@ -42,7 +42,7 @@ def test_sc_metric_pallas_detects_preamble():
     spec = simulator.ChannelSpec(snr_db=30.0, delay=300, seed=5)
     cap, _, _ = simulator.simulate_capture(cfg, spec)
     got = _pallas_interpret_metric(cap, cfg.M, 256)
-    synced, t_star, starts = schmidl_cox.plateau_scan(
+    synced, t_star, starts, _ = schmidl_cox.plateau_scan(
         got, cfg.cp_len, cfg.plateau_threshold
     )
     assert bool(synced)

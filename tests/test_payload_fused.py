@@ -87,6 +87,69 @@ def test_unsupported_geometry_falls_back():
     assert errs == 0
 
 
+@pytest.mark.parametrize("n_sym", [8, 37])
+def test_packed_kernel_matches_natural_through_perm(n_sym):
+    from rub_mimo_tpu.kernels.payload_fused import packed_perm
+
+    rng = np.random.default_rng(4)
+    S, M = 2, 2048
+    x = jnp.asarray(
+        (rng.normal(size=(S, n_sym, M)) * 0.3
+         + 1j * rng.normal(size=(S, n_sym, M)) * 0.3).astype(np.complex64))
+    W = jnp.asarray(
+        (rng.normal(size=(M, S, S))
+         + 1j * rng.normal(size=(M, S, S))).astype(np.complex64))
+    gain = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+    tab = np.asarray(constellation.table(Modulation.ARB32OPT))
+    norm = np.float32(1.0 / np.sqrt(M))
+
+    sig_n, data_n = payload_fused(x, W, gain, tab, norm, interpret=True)
+    sig_p, data_p = payload_fused(x, W, gain, tab, norm, interpret=True,
+                                  packed=True)
+    perm = packed_perm(M)
+    # natural = packed[..., perm] per frame; the packed kernel computes
+    # the SAME values, so this must be exact (not fp-close)
+    for nat, pk in ((data_n, data_p), (sig_n, sig_p)):
+        nat = np.asarray(nat).reshape(S, n_sym, M)
+        pk = np.asarray(pk).reshape(S, n_sym, M)[:, :, perm]
+        np.testing.assert_array_equal(nat, pk)
+
+
+def test_decode_fused_packed_and_report_scoring():
+    """decode(payload_impl='fused_packed') sets payload_perm and the
+    scoring path (report.score) transparently un-permutes: SER 0 and
+    EVM matching the natural-order decode."""
+    from rub_mimo_tpu.pipeline import report
+
+    cfg = ModemConfig(pid_max=12, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=3000, seed=7)
+    capture, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    r_xla = rx.decode(jnp.asarray(capture), cfg, payload_impl="xla")
+    r_pk = rx.decode(jnp.asarray(capture), cfg,
+                     payload_impl="fused_packed")
+    assert r_pk.payload_perm is not None
+    assert r_xla.payload_perm is None
+    perm = np.asarray(r_pk.payload_perm)
+    m = cfg.M_occupied
+    rxd = np.asarray(r_pk.rx_data).reshape(cfg.num_streams, -1, m)
+    rxd = rxd[:, :, perm].reshape(cfg.num_streams, -1)
+    assert int(np.sum(rxd != np.asarray(r_xla.rx_data))) == 0
+
+    rep = report.score(r_pk, tx_data, cfg)
+    assert rep.symbol_error_rate == [0.0, 0.0]
+    rep_ref = report.score(r_xla, tx_data, cfg)
+    np.testing.assert_allclose(rep.evm_percent, rep_ref.evm_percent,
+                               rtol=1e-3)
+
+
+def test_auto_never_selects_fused_packed():
+    from rub_mimo_tpu.utils import impl_select
+
+    impl_select.best_impl.cache_clear()
+    for backend in ("tpu", "cpu"):
+        assert impl_select.best_impl("payload", backend) != "fused_packed"
+
+
 def test_decode_dispatch_equality_eqdemap():
     cfg = ModemConfig(pid_max=12, bit_exact=False)
     spec = simulator.ChannelSpec(snr_db=30.0, delay=3000, seed=7)

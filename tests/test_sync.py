@@ -101,7 +101,7 @@ def test_plateau_scan_fires_and_sync_index():
     m = np.zeros((2, T), dtype=np.float32)
     m[0, 100:140] = 1.0
     m[1, 102:142] = 1.0
-    synced, t_star, starts = schmidl_cox.plateau_scan(jnp.asarray(m), cp, 0.95)
+    synced, t_star, starts, mask = schmidl_cox.plateau_scan(jnp.asarray(m), cp, 0.95)
     assert bool(synced)
     # stream 0 run starts at 100 and needs t-100 > 16 -> t >= 117; stream 1
     # needs t >= 119 -> first joint fire at 119
@@ -112,13 +112,13 @@ def test_plateau_scan_fires_and_sync_index():
 def test_plateau_scan_no_fire():
     m = np.zeros((2, 300), dtype=np.float32)
     m[0, 50:100] = 1.0  # only one stream
-    synced, _, _ = schmidl_cox.plateau_scan(jnp.asarray(m), 16, 0.95)
+    synced, _, _, _ = schmidl_cox.plateau_scan(jnp.asarray(m), 16, 0.95)
     assert not bool(synced)
 
 
 def test_nan_metric_is_not_plateau():
     m = np.full((1, 100), np.nan, dtype=np.float32)
-    synced, _, _ = schmidl_cox.plateau_scan(jnp.asarray(m), 4, 0.95)
+    synced, _, _, _ = schmidl_cox.plateau_scan(jnp.asarray(m), 4, 0.95)
     assert not bool(synced)
 
 
@@ -161,3 +161,86 @@ def test_correct_cfo_roundtrip():
     rot = np.exp(2j * np.pi * eps * n / cfg.M).astype(np.complex64)
     y = schmidl_cox.correct_cfo(jnp.asarray(x * rot), jnp.float32(eps), cfg.M)
     np.testing.assert_allclose(np.asarray(y), x, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------- quorum plateau rule
+def test_plateau_scan_quorum_fires_on_subset():
+    """Robust mode (cfg.sync_quorum): >= q streams each holding a run
+    > cp_len fire the detector; sync_index averages the PARTICIPANTS'
+    run starts only."""
+    T, cp = 500, 16
+    m = np.zeros((4, T), dtype=np.float32)
+    m[0, 100:140] = 1.0
+    m[1, 102:142] = 1.0
+    m[2, 104:144] = 1.0
+    # stream 3 never crosses threshold (a faded rx<-tx0 link)
+    synced_all, _, _, _ = schmidl_cox.plateau_scan(
+        jnp.asarray(m), cp, 0.95)
+    assert not bool(synced_all)
+    synced, t_star, starts, mask = schmidl_cox.plateau_scan(
+        jnp.asarray(m), cp, 0.95, quorum=3)
+    assert bool(synced)
+    # stream 2's run starts at 104 and needs t - 104 > 16 -> t >= 121
+    assert int(t_star) == 121
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  [True, True, True, False])
+    si = schmidl_cox.sync_index_from(jnp.asarray(starts),
+                                     jnp.asarray(mask))
+    assert int(si) == (100 + 102 + 104) // 3
+
+
+def test_plateau_scan_quorum_not_rotating_participants():
+    """q streams above at every position but with ROTATING membership
+    must NOT fire: each participant needs its own run > cp_len."""
+    T, cp = 400, 16
+    m = np.zeros((3, T), dtype=np.float32)
+    # alternate 8-sample bursts: always exactly 2 streams above, but no
+    # stream ever holds a run longer than 8
+    for t0 in range(100, 200, 8):
+        pair = (t0 // 8) % 3
+        for s in range(3):
+            if s != pair:
+                m[s, t0:t0 + 8] = 1.0
+    synced, _, _, _ = schmidl_cox.plateau_scan(
+        jnp.asarray(m), cp, 0.95, quorum=2)
+    assert not bool(synced)
+
+
+def test_quorum_acquires_4x4_with_one_jammed_stream():
+    """End-to-end tiny 4x4: one rx stream drowned in noise (its S&C
+    metric plateaus below 0.95).  The all-streams rule cannot acquire;
+    quorum=3 does, with the correct timing, on BOTH the coarse and the
+    full-scan impls."""
+    from rub_mimo_tpu.config import Detector, Modulation, tiny_config
+    from rub_mimo_tpu.io import simulator
+    from rub_mimo_tpu.pipeline import rx
+
+    base = dict(num_streams=4, bit_exact=False, pid_max=4,
+                modulation=Modulation.QAM16, detector=Detector.MMSE,
+                mmse_noise_var=1e-3)
+    cfg_all = tiny_config(**base)
+    cfg_q = tiny_config(sync_quorum=3, **base)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=500, seed=21)
+    cap, tx, _ = simulator.simulate_capture(cfg_all, spec)
+    cap = np.array(cap)  # writable copy
+    # reference timing from the clean capture
+    ref = rx.decode(jnp.asarray(cap), cfg_all)
+    assert bool(ref.synced)
+    # jam stream 3: ~10 dB SNR caps its metric at (SNR/(1+SNR))^2 ~ 0.83
+    rng = np.random.default_rng(0)
+    p3 = np.mean(np.abs(cap[3]) ** 2)
+    noise = (rng.normal(size=cap.shape[-1])
+             + 1j * rng.normal(size=cap.shape[-1]))
+    cap[3] += (np.sqrt(p3 / 10.0 / 2.0) * noise).astype(np.complex64)
+
+    r_all = rx.decode(jnp.asarray(cap), cfg_all)
+    assert not bool(r_all.synced)
+    for impl in ("coarse", "xla"):
+        r_q = rx.decode(jnp.asarray(cap), cfg_q, sync_impl=impl)
+        assert bool(r_q.synced), impl
+        assert abs(int(r_q.sync_index) - int(ref.sync_index)) <= 2, impl
+        # streams 0-2 payloads survive (stream 3's noisy observations
+        # degrade the 4x4 MMSE solve slightly; allow < 1% symbol errors)
+        n = cfg_q.pid_max * cfg_q.M_occupied
+        errs = np.asarray(r_q.rx_data)[:3, :n] != np.asarray(tx)[:3, :n]
+        assert errs.mean() < 0.01, (impl, errs.sum())
