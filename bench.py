@@ -94,13 +94,24 @@ def _credible(runs, sustained_ms):
     then waits out the full execution), so per-dispatch wall times are
     meaningless there and cannot validate the trace.  The sustained
     measurement — N dispatches queued back-to-back, one final fetch-backed
-    sync — is the ground truth both run on: trace medians within 2x of it
-    are accepted; otherwise the trace is rejected and the bench falls back
-    to the sustained number."""
+    sync — is the ground truth both run on.  Its structure on this
+    attachment is sustained = device + fixed per-execution idle gap
+    (0.6-1.6 ms of zero-op device time between queued module runs —
+    attributed in docs/BENCHMARKS.md, round 4), so a trace median is
+    accepted when it does not exceed the sustained rate by more than 2x
+    AND the implied gap stays within the measured gap ceiling; otherwise
+    the trace is rejected and the bench falls back to the sustained
+    number.  (The old symmetric med >= sustained/2 bound started
+    rejecting VALID traces once the decode dropped below the gap
+    itself.)"""
     if not runs:
         return False
     med = statistics.median(runs)
-    return med <= sustained_ms * 2.0 and med >= sustained_ms / 2.0
+    gap_ceiling_ms = 1.8
+    return med <= sustained_ms * 2.0 and (
+        med >= sustained_ms / 2.0
+        or sustained_ms - med <= gap_ceiling_ms
+    )
 
 
 def main():

@@ -93,7 +93,8 @@ def _extract_window(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
     )
 
 
-def _extract_region(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
+def _extract_region(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig,
+                    impl: str = "xla"):
     """The ESTIMATION prefix of the replay window: one symbol of lead-in
     plus the S0 + access-code span plus an M-sample search margin — all
     that the matched filter, CFO estimators, LS estimate, and noise-var
@@ -101,15 +102,16 @@ def _extract_region(iq: jax.Array, sync_index: jax.Array, cfg: ModemConfig):
     to window offsets (the region IS the window's prefix), so ac_index /
     s0_index interoperate unchanged.  ~(n_seq+1) symbols instead of the
     full window's n_seq+4+pid_max — the copy and every downstream FFT
-    shrink by ~25x at the reference operating point."""
-    S = cfg.num_streams
-    n_seq = 1 + cfg.num_access_codes * cfg.num_streams
-    region_len = cfg.symbol_len * n_seq + cfg.M
-    padded = jnp.pad(iq, ((0, 0), (cfg.symbol_len, region_len)))
-    start = jnp.clip(sync_index, 0, iq.shape[-1])
-    return jax.lax.dynamic_slice(
-        padded, (jnp.int32(0), start.astype(jnp.int32)), (S, region_len)
-    )
+    shrink by ~25x at the reference operating point.
+
+    Implemented through extract_payload (identical windowcf read-zeros
+    semantics): the previous pad-the-capture formulation materialized a
+    full [S, T + region_len] copy per plane just to grab 92k samples —
+    ~0.2 ms of DMA at the operating point (round-5 trace finding)."""
+    region_len = cfg.symbol_len * (1 + cfg.num_access_codes
+                                   * cfg.num_streams) + cfg.M
+    start = jnp.clip(sync_index, 0, iq.shape[-1]) - cfg.symbol_len
+    return extract_payload(iq, start, region_len, impl=impl)
 
 
 def extract_payload(
@@ -355,8 +357,13 @@ def decode(
         iq = schmidl_cox.correct_cfo(iq, coarse_cfo, M)
 
     # ---- replay region (estimation prefix of the reference's windowcf;
-    # the matched filter / CFO / LS / noise-var all live here) ----
-    region = _extract_region(iq, sync_index, cfg)
+    # the matched filter / CFO / LS / noise-var all live here).
+    # xla_slow under a batch axis (vmap turns the fast/slow cond into a
+    # both-branches select); the cond'd formulation otherwise ----
+    region = _extract_region(
+        iq, sync_index, cfg,
+        impl="xla_slow" if window_impl == "xla_slow" else "xla",
+    )
 
     # ---- matched-filter offset search ----
     joint = (not cfg.bit_exact) and cfg.timing_mode == "joint"
