@@ -81,14 +81,24 @@ def main():
             float(np.asarray(to_host(sum_fn(out.rx_data))))
             return (time.perf_counter() - t0) / n * 1e3
 
-        plain = rx.make_decoder(cfg)
-        plain_ms = sustained(plain, cap)
+        # both programs fed f32 planes (the ingest-native format): the
+        # comparison isolates partitioning/collective cost, not input
+        # staging differences
+        from rub_mimo_tpu.utils.impl_select import best_impl
+
+        pimpl = best_impl("payload", jax.default_backend(),
+                          include_explicit=True)
+        plain0 = rx.make_decoder(cfg, payload_impl=pimpl,
+                                 input_format="planes")
+        planes = jax.jit(lambda c: (jnp.real(c).astype(jnp.float32),
+                                    jnp.imag(c).astype(jnp.float32)))(cap)
+        plain_ms = sustained(lambda p: plain0(*p), planes)
 
         mesh = mesh_mod.make_mesh(1, 1)
-        iq = mesh_mod.shard_capture(cap, mesh)
-        sharded = decode_sharded.build_sharded_decoder(
-            cfg, mesh, iq.shape[-1])
-        shard_ms = sustained(sharded, iq)
+        iqp = mesh_mod.shard_capture_planes(cap, mesh)
+        sharded0 = decode_sharded.build_sharded_decoder(
+            cfg, mesh, iqp[0].shape[-1], input_format="planes")
+        shard_ms = sustained(lambda p: sharded0(*p), iqp)
         print(json.dumps({
             "metric": "sharding_overhead_1dev",
             "plain_sustained_ms": round(plain_ms, 4),

@@ -112,6 +112,67 @@ def _eq_demap(xr, xi, wr, wi, g, *, M, S, n_sym, table, interpret):
     return er, ei, d
 
 
+def _demap_kernel(xr_ref, xi_ref, d_ref, *, S, cr, ci, cb):
+    for s in range(S):
+        ar = xr_ref[s]
+        ai = xi_ref[s]
+        best = jnp.full(ar.shape, -np.inf, jnp.float32)
+        idx = jnp.zeros(ar.shape, jnp.int32)
+        for k in range(len(cr)):
+            sc = ar * cr[k] + ai * ci[k] - cb[k]
+            take = sc > best
+            best = jnp.where(take, sc, best)
+            idx = jnp.where(take, k, idx)
+        d_ref[s] = idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "S", "n_sym", "table", "interpret"))
+def _demap(xr, xi, *, m, S, n_sym, table, interpret):
+    F = 32
+    for cand in (40, 32, 24, 16, 8):
+        if n_sym % cand == 0:
+            F = cand
+            break
+    npad = -(-n_sym // F) * F
+    if npad != n_sym:
+        padw = ((0, 0), (0, npad - n_sym), (0, 0))
+        xr = jnp.pad(xr, padw)
+        xi = jnp.pad(xi, padw)
+    t = np.asarray(table)
+    cr = tuple(np.float32(v) for v in t.real)
+    ci = tuple(np.float32(v) for v in t.imag)
+    cb = tuple(np.float32(v) for v in (np.abs(t) ** 2 / 2.0))
+    kern = functools.partial(_demap_kernel, S=S, cr=cr, ci=ci, cb=cb)
+    spec = pl.BlockSpec((S, F, m), lambda i: (0, i, 0))
+    d = pl.pallas_call(
+        kern,
+        grid=(npad // F,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((S, npad, m), jnp.int32),
+        interpret=interpret,
+    )(xr, xi)
+    return d[:, :n_sym] if npad != n_sym else d
+
+
+def demap_supported(m: int, arity: int) -> bool:
+    return m % 128 == 0 and arity <= 64
+
+
+def demap(Y: jax.Array, table: np.ndarray, interpret: bool = False):
+    """Hard nearest-neighbour demap of [S, n_sym, m] complex symbols —
+    the VPU analog of ofdm.constellation.demodulate (identical score
+    formulation and first-max tie-break), without XLA's bf16-scored
+    variadic argmax reduce.  Requires m % 128 == 0."""
+    S, n_sym, m = Y.shape
+    return _demap(
+        jnp.real(Y).astype(jnp.float32), jnp.imag(Y).astype(jnp.float32),
+        m=m, S=S, n_sym=n_sym,
+        table=tuple(np.asarray(table).tolist()), interpret=interpret,
+    )
+
+
 def eq_demap(X: jax.Array, W: jax.Array, gain: jax.Array,
              table: np.ndarray, interpret: bool = False):
     """X: [S(rx), n_sym, M] frequency-domain payload (already scaled by

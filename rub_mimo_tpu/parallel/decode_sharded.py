@@ -58,6 +58,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rub_mimo_tpu.config import CommMode, Detector, ModemConfig
 from rub_mimo_tpu.estimate import ls
+from rub_mimo_tpu.kernels import eq_demap as demap_mod
 from rub_mimo_tpu.ofdm import constellation, sctype
 from rub_mimo_tpu.sync import matched_filter, schmidl_cox
 
@@ -225,24 +226,14 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     Ter = ext_r.shape[-1]
     # global position of ext[:, i] (and ext_r[:, i]) is shard0 - halo + i
 
-    # ---- coarse pass over ext (same block-sum math as offline) ----
+    # ---- coarse pass over ext (same block-sum math as offline's
+    # tile-aligned "coarse128" formulation: the plain [S, nD, D]
+    # reshape, with D <= 64, lowered to detile/retile while-loops
+    # carrying shard-sized buffers — ~2 ms of the measured 1-device
+    # sharding overhead in the round-5 trace) ----
     nD = Te // D
-    n_full = nD * D
     kp, ke = M2 // D, M // D
-    prod = jnp.conj(ext[:, : n_full - M2]) * ext[:, M2:n_full]
-    prod = jnp.pad(prod, ((0, 0), (M2, 0)))
-    ones_d = jnp.ones((D,), jnp.float32)
-    prod3 = prod.reshape(S, nD, D)
-    bs_p = (
-        jnp.einsum("snd,d->sn", jnp.real(prod3), ones_d,
-                   preferred_element_type=jnp.float32)
-        + 1j * jnp.einsum("snd,d->sn", jnp.imag(prod3), ones_d,
-                          preferred_element_type=jnp.float32)
-    ).astype(ext.dtype)
-    e_in = (jnp.real(ext[:, :n_full]) ** 2
-            + jnp.imag(ext[:, :n_full]) ** 2).astype(jnp.float32)
-    bs_e = jnp.einsum("snd,d->sn", e_in.reshape(S, nD, D), ones_d,
-                      preferred_element_type=jnp.float32)
+    bs_p, bs_e = schmidl_cox.coarse_block_sums(ext, M2, nD, D, True)
 
     def _mov(bs, k):
         cs = jnp.cumsum(bs, axis=-1)
@@ -386,17 +377,48 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
 def _region_stage(local: jax.Array, rstart: jax.Array, region_len: int):
     """Replicate capture[rstart : rstart+region_len] via masked local
     slices + psum (positions outside the capture read as zeros, matching
-    the zero-initialized windowcf backing store)."""
+    the zero-initialized windowcf backing store).
+
+    Round 5: the old formulation padded the whole shard by region_len on
+    BOTH sides per run just to make every overlap an in-range slice —
+    a shard-sized copy (~0.4 ms at the operating point on a 1x1 mesh).
+    Now: one clamped in-range slice + a positional mask.  The mask only
+    touches the region-sized result; shards with no overlap mask to
+    zero.  Requires Tloc >= region_len (enforced by the caller's
+    region-capacity check; the pad formulation remains as fallback)."""
     S, Tloc = local.shape
     me = jax.lax.axis_index("time")
     base = me * Tloc
-    loc_pad = jnp.pad(local, ((0, 0), (region_len, region_len)))
-    # clip into the padded range: empty overlaps land entirely in the zero
-    # padding (lax.dynamic_slice would WRAP negative starts python-style)
-    start = jnp.clip(rstart - base + region_len, 0, Tloc + region_len)
-    part = jax.lax.dynamic_slice(
-        loc_pad, (jnp.int32(0), start.astype(jnp.int32)), (S, region_len)
-    )
+    start = rstart - base                 # region start in local coords
+
+    def _pad_path(_):
+        loc_pad = jnp.pad(local, ((0, 0), (region_len, region_len)))
+        s = jnp.clip(start + region_len, 0, Tloc + region_len)
+        return jax.lax.dynamic_slice(
+            loc_pad, (jnp.int32(0), s.astype(jnp.int32)), (S, region_len)
+        )
+
+    if Tloc < region_len:
+        return jax.lax.psum(_pad_path(None), "time")
+
+    def _zeros(_):
+        # pcast: mark the constant as device-varying so all switch
+        # branches carry the same manual-axes type under shard_map
+        return jax.lax.pcast(
+            jnp.zeros((S, region_len), local.dtype), "time", to="varying"
+        )
+
+    def _fast(_):
+        s0 = jnp.clip(start, 0, Tloc - region_len).astype(jnp.int32)
+        return jax.lax.dynamic_slice(
+            local, (jnp.int32(0), s0), (S, region_len)
+        )
+
+    overlaps = (start + region_len > 0) & (start < Tloc)
+    contained = (start >= 0) & (start <= Tloc - region_len)
+    branch = jnp.where(~overlaps, 0, jnp.where(contained, 1, 2))
+    part = jax.lax.switch(branch.astype(jnp.int32),
+                          [_zeros, _fast, _pad_path], None)
     return jax.lax.psum(part, "time")
 
 
@@ -606,6 +628,7 @@ def _estimate_stage(
     cfg: ModemConfig,
     n_sc: int,
     need_nv: bool,
+    uniform: bool = False,
 ):
     """LS channel estimation with the access-code FFT batch sharded over
     'sc': the codes x rx x tx window FFTs (framing.cc:801-824; 80 FFTs at
@@ -625,7 +648,16 @@ def _estimate_stage(
     off_chunk = jax.lax.dynamic_slice(
         off_pad, (start, jnp.int32(0), jnp.int32(0)), (chunk, S, S)
     )
-    X_chunk = ls.code_ffts(region, off_chunk, cfg)  # [chunk, S, S, M]
+    # joint timing: each device's code chunk keeps the uniform
+    # symbol-pitch grid (base shifted by start*S*sym), so the static-
+    # slice extraction applies — the per-window dynamic-slice scan was
+    # a ~0.34 ms sequential while-loop in the sharded program (round-5
+    # trace).  Only when n_sc divides the code count: a chunk holding
+    # PAD rows would extend its structural grid past the region end and
+    # the defensive base clamp would shift its REAL windows too.
+    use_uniform = uniform and codes_pad == codes
+    X_chunk = ls.code_ffts(region, off_chunk, cfg,
+                           uniform=use_uniform)  # [chunk, S, S, M]
 
     Xfull = jnp.zeros((codes_pad, S, S, M), X_chunk.dtype)
     Xfull = jax.lax.dynamic_update_slice(
@@ -642,13 +674,19 @@ def _estimate_stage(
 
 
 def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
-                          halo_impl: str = "ppermute"):
+                          halo_impl: str = "ppermute",
+                          input_format: str = "complex"):
     """jit-compiled sharded decoder for [streams, T] captures placed with
     parallel.mesh.shard_capture (T must be a multiple of the 'time' size).
 
     halo_impl: "ppermute" (default) or "pallas_dma" — the stage-A halo
     exchange as an explicit Pallas remote-DMA kernel (interpret-mode
-    simulated on non-TPU meshes)."""
+    simulated on non-TPU meshes).
+
+    input_format="planes": the decoder takes (re, im) float32 planes
+    placed with parallel.mesh.shard_capture_planes instead of one
+    complex64 capture — removes the module-start c64 staging copies on
+    the split-plane TPU backend."""
     S = cfg.num_streams
     M = cfg.M
     sym = cfg.symbol_len
@@ -717,28 +755,46 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
 
         return jax.lax.cond(need_full, full, fast, operand=None)
 
+    # The capture rides through every shard_map as (re, im) f32 planes
+    # and is combined INSIDE each stage body: a complex64 operand at a
+    # shard_map boundary forces this split-plane backend to materialize
+    # interleaved copies of the whole shard (two ~1 ms full-capture
+    # copy-starts in the round-5 trace); plane operands cross for free
+    # and the in-stage lax.complex fuses into the consuming math.
+    def _cx(fn):
+        def wrapped(re, im, *rest):
+            return fn(jax.lax.complex(re, im), *rest)
+
+        return wrapped
+
     sync_sharded = jax.shard_map(
-        _stage_a,
+        _cx(_stage_a),
         mesh=mesh,
-        in_specs=spec_t,
+        in_specs=(spec_t, spec_t),
         out_specs=(P(), P(None), P(), P(None), P(None)),
     )
+
+    def _derotate_planes(re, im, eps, ref):
+        out = _derotate_stage(jax.lax.complex(re, im), eps, ref, M=M)
+        return jnp.real(out), jnp.imag(out)
+
     derotate_sharded = jax.shard_map(
-        functools.partial(_derotate_stage, M=M),
+        _derotate_planes,
         mesh=mesh,
-        in_specs=(spec_t, P(), P()),
-        out_specs=spec_t,
+        in_specs=(spec_t, spec_t, P(), P()),
+        out_specs=(spec_t, spec_t),
     )
     xcorr_sharded = jax.shard_map(
-        functools.partial(_xcorr_stage, cfg=cfg, n_time=n_time, T_total=T),
+        _cx(functools.partial(_xcorr_stage, cfg=cfg, n_time=n_time,
+                              T_total=T)),
         mesh=mesh,
-        in_specs=spec_t,
+        in_specs=(spec_t, spec_t),
         out_specs=(P(), P()),
     )
     region_sharded = jax.shard_map(
-        functools.partial(_region_stage, region_len=region_len),
+        _cx(functools.partial(_region_stage, region_len=region_len)),
         mesh=mesh,
-        in_specs=(spec_t, P()),
+        in_specs=(spec_t, spec_t, P()),
         out_specs=P(None, None),
     )
     # equalize fuses into the payload stage whenever the detector is
@@ -746,12 +802,12 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
     # tails): one grid assembly instead of two
     fuse_eq = cfg.mode != CommMode.ALAMOUTI and not cfg.track_channel
     payload_sharded = jax.shard_map(
-        functools.partial(
+        _cx(functools.partial(
             _payload_stage, cfg=cfg, n_time=n_time, n_sc=n_sc,
             occ_idx=occ_idx, fuse_eq=fuse_eq,
-        ),
+        )),
         mesh=mesh,
-        in_specs=(spec_t, P(), P(None, None, None), P()),
+        in_specs=(spec_t, spec_t, P(), P(None, None, None), P()),
         out_specs=P(None, None, None),
     )
     mf_sharded = jax.shard_map(
@@ -762,16 +818,17 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
     )
     estimate_sharded = jax.shard_map(
         functools.partial(
-            _estimate_stage, cfg=cfg, n_sc=n_sc, need_nv=need_nv
+            _estimate_stage, cfg=cfg, n_sc=n_sc, need_nv=need_nv,
+            uniform=joint,
         ),
         mesh=mesh,
         in_specs=(P(None, None), P(None, None)),
         out_specs=(P(None, None, None), P()),
     )
 
-    def run(iq: jax.Array) -> ShardedDecodeResult:
+    def run(iq_re: jax.Array, iq_im: jax.Array) -> ShardedDecodeResult:
         # ---- stage A ----
-        t_star, starts, synced, corr_at, pmask = sync_sharded(iq)
+        t_star, starts, synced, corr_at, pmask = sync_sharded(iq_re, iq_im)
         t_star = jnp.where(synced, t_star, jnp.int32(0))
         nmask = jnp.maximum(jnp.sum(pmask.astype(jnp.int32)), 1)
         sync_index = (
@@ -780,7 +837,7 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         sync_index = jnp.where(synced, sync_index, jnp.int32(0))
         use_fb = jnp.bool_(False)
         if cfg.sync_fallback:
-            fb_q, fb_p = xcorr_sharded(iq)
+            fb_q, fb_p = xcorr_sharded(iq_re, iq_im)
             use_fb = (~synced) & (fb_q > cfg.sync_fallback_threshold)
             synced = synced | use_fb
             sync_index = jnp.where(
@@ -794,11 +851,12 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
             # sync came from the fallback -> defer to the S0-halves
             # estimator on the region (below)
             cfo0 = jnp.where(use_fb, jnp.float32(0.0), cfo0)
-            iq = derotate_sharded(iq, cfo0, jnp.float32(0.0))
+            iq_re, iq_im = derotate_sharded(iq_re, iq_im, cfo0,
+                                            jnp.float32(0.0))
 
         # ---- stage B ----
         rstart = sync_index - sym  # window starts one symbol before sync
-        region = region_sharded(iq, rstart)
+        region = region_sharded(iq_re, iq_im, rstart)
 
         s0_idx, ac_idx = mf_sharded(region)
         cfo_total = cfo0
@@ -826,8 +884,8 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
                 ac_idx, cfg,
             )
             region = derot_region(region, eps_s0 + eps1)
-            iq = derotate_sharded(
-                iq, eps_s0 + eps1, rstart.astype(jnp.float32)
+            iq_re, iq_im = derotate_sharded(
+                iq_re, iq_im, eps_s0 + eps1, rstart.astype(jnp.float32)
             )
             s0_idx, ac_idx = mf_sharded(region)
             cfo_total = cfo0 + eps_s0 + eps1
@@ -842,7 +900,7 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         # per-symbol detectors), striped over time x sc ----
         decode_start = (ac_idx[S - 1, -1] + M).astype(jnp.int32)
         pstart = jnp.maximum(rstart + decode_start, 0)
-        Ygrid = payload_sharded(iq, pstart, G_occ, noise_var)
+        Ygrid = payload_sharded(iq_re, iq_im, pstart, G_occ, noise_var)
         from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
         if fuse_eq:
@@ -866,8 +924,19 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
                 alpha=cfg.track_alpha,
             )
             out = postprocess_eq(eqg, cfg)
-        rx_sig = jnp.moveaxis(out, 0, 1).reshape(S, cfg.pid_max * m_occ)
-        rx_data = constellation.demodulate(rx_sig, cfg.modulation)
+        sig3 = jnp.moveaxis(out, 0, 1)  # [S, pid, m_occ]
+        rx_sig = sig3.reshape(S, cfg.pid_max * m_occ)
+        tab = constellation.table(cfg.modulation)
+        if demap_mod.demap_supported(m_occ, len(tab)):
+            # VPU demap kernel (same scores/tie-break as demodulate);
+            # the XLA demap's bf16-scored variadic argmax was ~0.48 ms
+            # of the 1-device sharding overhead (round-5 trace)
+            rx_data = demap_mod.demap(
+                sig3, np.asarray(tab),
+                interpret=mesh.devices.flat[0].platform != "tpu",
+            ).reshape(S, cfg.pid_max * m_occ)
+        else:
+            rx_data = constellation.demodulate(rx_sig, cfg.modulation)
         return ShardedDecodeResult(
             synced=synced,
             sync_index=sync_index,
@@ -879,4 +948,13 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
             rx_data=rx_data,
         )
 
-    return jax.jit(run)
+    if input_format == "planes":
+        return jax.jit(run)
+    if input_format != "complex":
+        raise ValueError(f"unknown input_format {input_format!r}")
+
+    def run_complex(iq):
+        return run(jnp.real(iq).astype(jnp.float32),
+                   jnp.imag(iq).astype(jnp.float32))
+
+    return jax.jit(run_complex)

@@ -80,3 +80,28 @@ def shard_capture(iq: jax.Array, mesh: Mesh) -> jax.Array:
     if pad:
         iq = jnp.pad(iq, ((0, 0), (0, pad)))
     return jax.device_put(iq, NamedSharding(mesh, P(None, "time")))
+
+
+def shard_capture_planes(iq: jax.Array, mesh: Mesh):
+    """shard_capture, delivering (re, im) float32 planes — the
+    device-native format on the split-plane TPU backend (and what every
+    ingest path produces).  Feeding planes to
+    build_sharded_decoder(input_format="planes") removes the
+    module-start c64 staging copies (~1.3 ms/decode on a 1x1 mesh,
+    round-5 trace)."""
+    import jax.numpy as jnp
+
+    n_time = mesh.shape["time"]
+    T = iq.shape[-1]
+    pad = (-T) % (n_time * 128)
+    sh = NamedSharding(mesh, P(None, "time"))
+
+    @jax.jit
+    def split(c):
+        if pad:
+            c = jnp.pad(c, ((0, 0), (0, pad)))
+        return (jnp.real(c).astype(jnp.float32),
+                jnp.imag(c).astype(jnp.float32))
+
+    re, im = split(iq)
+    return jax.device_put(re, sh), jax.device_put(im, sh)

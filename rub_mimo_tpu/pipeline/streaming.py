@@ -504,7 +504,7 @@ class StreamingDecoder:
             attachment — VERDICT r3 item 6)."""
             def body(carry, blk):
                 t, lb, rec, g = carry
-                t2, lb2, fired, _, _, _ = sync_step(t, lb, blk, g)
+                t2, lb2, fired, _, _, _, _ = sync_step(t, lb, blk, g)
                 return (t2, lb2, recent_step(rec, blk),
                         g + jnp.int32(C)), fired
 

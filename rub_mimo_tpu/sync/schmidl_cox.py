@@ -125,6 +125,74 @@ def _coarse_stride(cfg: ModemConfig) -> int:
     return D
 
 
+def coarse_block_sums(x: jax.Array, M2: int, nD: int, D: int,
+                      tile_aligned: bool):
+    """Per-D-block partial sums of the S&C delayed product and energy
+    over x[:, :nD*D]: ([S, nD] complex, [S, nD] f32).  Shared by the
+    offline coarse scan and the sharded coarse stage
+    (parallel.decode_sharded._coarse_sync_stage).
+
+    tile_aligned=True ("coarse128"): the [S, nD, D] reshape of the plain
+    formulation has a sub-tile minor dim (D <= 64), which XLA:TPU lowers
+    to a detile/retile while-loop pair per plane — ~0.17 ms per reshape
+    per million samples.  Instead reshape each f32 plane to chunks of
+    128 blocks (minor dim 128*D, a whole number of 128-lane tiles -> no
+    relayout) and compute the 128 block sums of a chunk as ONE MXU
+    matmul against a constant 0/1 block-indicator matrix.  NO
+    complex<->f32 views: this backend stores complex64 as split planes
+    and a view is a scalarized interleave (measured ~240 ms — the
+    dynwin/BENCH_r02 culprit).  Summation order differs between the two
+    formulations (dispatched-impl float caveat class)."""
+    S = x.shape[0]
+    n_full = nD * D
+    prod = jnp.conj(x[:, : n_full - M2]) * x[:, M2:n_full]
+    # left-pad (not concatenate-with-zeros): fresh zeros confuse sharding
+    # propagation when decode runs inside a sharded-batch jit
+    prod = jnp.pad(prod, ((0, 0), (M2, 0)))
+    e_in = (jnp.real(x[:, :n_full]) ** 2
+            + jnp.imag(x[:, :n_full]) ** 2).astype(jnp.float32)
+    if tile_aligned:
+        chunk = 128 * D
+        nDp = -(-nD // 128) * 128
+        Bm = jnp.asarray(
+            (np.arange(chunk)[:, None] // D
+             == np.arange(128)[None, :]).astype(np.float32)
+        )
+
+        def bsum(q):  # [S, n_full] f32 -> [S, nD] per-block sums
+            q = jnp.pad(q, ((0, 0), (0, nDp * D - n_full)))
+            # ONE 2-D dot, not a batched einsum: with a chunk-group
+            # batch dim XLA re-streams the [chunk, 128] indicator
+            # constant for every group (~0.5 ms of bf16 slice DMA per
+            # full-capture pass, round-5 sharded trace); folding the
+            # groups into rows loads it once
+            out = jnp.dot(
+                q.reshape(S * (nDp // 128), chunk), Bm,
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(S, nDp)[:, :nD]
+
+        bs_p = jax.lax.complex(bsum(jnp.real(prod)), bsum(jnp.imag(prod)))
+        bs_e = bsum(e_in)
+    else:
+        # the D-block sums ride the MXU as a [*, D] x [D, 1] matmul — a
+        # plain reshape().sum(-1) lowers to while-loops carrying
+        # full-capture buffers on TPU (measured ~0.17 ms each)
+        ones_d = jnp.ones((D,), jnp.float32)
+        prod3 = prod.reshape(S, nD, D)
+        bs_p = (
+            jnp.einsum("snd,d->sn", jnp.real(prod3), ones_d,
+                       preferred_element_type=jnp.float32)
+            + 1j * jnp.einsum("snd,d->sn", jnp.imag(prod3), ones_d,
+                              preferred_element_type=jnp.float32)
+        ).astype(x.dtype)                                  # [S, nD] complex
+        bs_e = jnp.einsum(
+            "snd,d->sn", e_in.reshape(S, nD, D), ones_d,
+            preferred_element_type=jnp.float32,
+        )                                                  # [S, nD]
+    return bs_p, bs_e
+
+
 def _metric_from_slice(win: jax.Array, M: int):
     """Exact metric/corr for a capture slice that CONTAINS its own M-1
     samples of left context: outputs are valid from index M-1 on (or from
@@ -219,59 +287,7 @@ def _synchronize_coarse(
     kp, ke = M2 // D, M // D
 
     # ---- coarse pass: block-partial sums -> exact metric at t_i ----
-    # the D-block sums ride the MXU as a [*, D] x [D, 1] matmul — a plain
-    # reshape().sum(-1) lowers to while-loops carrying full-capture
-    # buffers on TPU (measured ~0.17 ms each)
-    prod = jnp.conj(x[:, : n_full - M2]) * x[:, M2:n_full]
-    # left-pad (not concatenate-with-zeros): fresh zeros confuse sharding
-    # propagation when decode runs inside a sharded-batch jit
-    prod = jnp.pad(prod, ((0, 0), (M2, 0)))
-    if tile_aligned:
-        # tile-aligned formulation ("coarse128"): the [S, nD, D] reshape
-        # below has a sub-tile minor dim (D <= 64), which XLA:TPU lowers
-        # to a detile/retile while-loop pair per plane — ~0.07 ms per
-        # reshape per million samples, and the always-executed sync
-        # PREFIX pays three of them.  Instead reshape each f32 plane to
-        # chunks of 128 blocks (minor dim 128*D, a whole number of
-        # 128-lane tiles -> no relayout) and compute the 128 block sums
-        # of a chunk as ONE MXU matmul against a constant 0/1
-        # block-indicator matrix.  NO complex<->f32 views: this backend
-        # stores complex64 as split planes and a view is a scalarized
-        # interleave (measured ~240 ms — the dynwin/BENCH_r02 culprit).
-        chunk = 128 * D
-        nDp = -(-nD // 128) * 128
-        Bm = jnp.asarray(
-            (np.arange(chunk)[:, None] // D
-             == np.arange(128)[None, :]).astype(np.float32)
-        )
-
-        def bsum(q):  # [S, n_full] f32 -> [S, nD] per-block sums
-            q = jnp.pad(q, ((0, 0), (0, nDp * D - n_full)))
-            out = jnp.einsum(
-                "sgk,kj->sgj", q.reshape(S, nDp // 128, chunk), Bm,
-                preferred_element_type=jnp.float32,
-            )
-            return out.reshape(S, nDp)[:, :nD]
-
-        bs_p = jax.lax.complex(bsum(jnp.real(prod)), bsum(jnp.imag(prod)))
-        e_in = (jnp.real(x[:, :n_full]) ** 2
-                + jnp.imag(x[:, :n_full]) ** 2).astype(jnp.float32)
-        bs_e = bsum(e_in)
-    else:
-        ones_d = jnp.ones((D,), jnp.float32)
-        prod = prod.reshape(S, nD, D)
-        bs_p = (
-            jnp.einsum("snd,d->sn", jnp.real(prod), ones_d,
-                       preferred_element_type=jnp.float32)
-            + 1j * jnp.einsum("snd,d->sn", jnp.imag(prod), ones_d,
-                              preferred_element_type=jnp.float32)
-        ).astype(x.dtype)                                  # [S, nD] complex
-        e_in = (jnp.real(x[:, :n_full]) ** 2
-                + jnp.imag(x[:, :n_full]) ** 2).astype(jnp.float32)
-        bs_e = jnp.einsum(
-            "snd,d->sn", e_in.reshape(S, nD, D), ones_d,
-            preferred_element_type=jnp.float32,
-        )                                                  # [S, nD]
+    bs_p, bs_e = coarse_block_sums(x, M2, nD, D, tile_aligned)
 
     def _mov(bs, k):
         cs = jnp.cumsum(bs, axis=-1)

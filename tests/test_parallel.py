@@ -293,3 +293,43 @@ def test_sharded_batch_serving_validation():
     m = mesh_mod.make_mesh(8, 1)
     with pytest.raises(ValueError):
         serving.shard_batch(np.zeros((3, 2, 64), np.complex64), m)
+
+
+def test_sharded_planes_input_matches_complex():
+    """build_sharded_decoder(input_format='planes') fed via
+    shard_capture_planes must reproduce the complex-input decoder
+    exactly (round 5: the plane path removes the c64 staging copies)."""
+    cfg = tiny_config(bit_exact=False)
+    cap, tx_data, _ = _capture(cfg)
+    m = mesh_mod.make_mesh(4, 2)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec_c = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    ref = dec_c(iq)
+    planes = mesh_mod.shard_capture_planes(cap, m)
+    dec_p = decode_sharded.build_sharded_decoder(
+        cfg, m, planes[0].shape[-1], input_format="planes")
+    got = dec_p(*planes)
+    assert bool(got.synced) and bool(ref.synced)
+    assert int(got.sync_index) == int(ref.sync_index)
+    np.testing.assert_array_equal(np.asarray(got.rx_data),
+                                  np.asarray(ref.rx_data))
+    np.testing.assert_array_equal(np.asarray(got.rx_sig),
+                                  np.asarray(ref.rx_sig))
+
+
+def test_sharded_quorum_matches_offline():
+    """Sharded decode with a quorum config (coarse fast path gated off)
+    must match the offline quorum decode."""
+    cfg = tiny_config(bit_exact=False, num_streams=4, pid_max=4,
+                      sync_quorum=3)
+    cap, tx_data, _ = _capture(cfg, seed=23)
+    ref = rx.decode(cap, cfg)
+    assert bool(ref.synced)
+    m = mesh_mod.make_mesh(4, 1)
+    iq = mesh_mod.shard_capture(cap, m)
+    dec = decode_sharded.build_sharded_decoder(cfg, m, iq.shape[-1])
+    got = dec(iq)
+    assert bool(got.synced)
+    assert int(got.sync_index) == int(ref.sync_index)
+    np.testing.assert_array_equal(np.asarray(got.rx_data),
+                                  np.asarray(ref.rx_data))
