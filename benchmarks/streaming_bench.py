@@ -81,6 +81,36 @@ def main():
             x, (jnp.int32(0), i), (S, K * chunk))
     ) if K > 1 else None
 
+    # ---- tunnel-health probe (VERDICT r4 item 4) ----
+    # The streaming phase machine pays one host round-trip per phase
+    # decision, so a degraded tunnel (RTT observed drifting from ~0.1 ms
+    # to ~25 ms within a session, round 4) measures the tunnel, not the
+    # decoder.  Probe the RTT with a dependent 4-byte fetch and REFUSE
+    # to record a throughput number when it is degraded.
+    from rub_mimo_tpu.utils.transfer import to_host
+
+    probe = jax.jit(lambda x: jnp.sum(x))
+    _ = float(np.asarray(to_host(probe(jnp.ones((8,), jnp.float32)))))
+    rtts = []
+    for _i in range(20):
+        t0 = time.perf_counter()
+        float(np.asarray(to_host(probe(jnp.ones((8,), jnp.float32)))))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = sorted(rtts)[len(rtts) // 2] * 1e3
+    rtt_limit = 2.0
+    if rtt_ms > rtt_limit and not args.cpu:
+        print(json.dumps({
+            "metric": "streaming_decode_throughput",
+            "value": None,
+            "tunnel_degraded": True,
+            "rtt_ms": round(rtt_ms, 3),
+            "note": f"host<->device RTT {rtt_ms:.2f} ms exceeds the "
+                    f"{rtt_limit} ms health bar — a rate measured now "
+                    "would reflect the tunnel, not the decoder; re-run "
+                    "on a healthy attachment",
+        }))
+        return 1
+
     def run_once(per_phase=None):
         dec = streaming.StreamingDecoder(cfg, chunk_size=chunk)
         i = 0
@@ -121,14 +151,23 @@ def main():
         ph: round(1e3 * sorted(ts)[len(ts) // 2], 3)
         for ph, ts in per_phase.items()
     }
+    # per-phase sustained rates: phase rate = chunk / median-per-chunk
+    # wall (seek pushes K chunks per host sync with --block)
+    phase_sps = {
+        ph: round(chunk / sorted(ts)[len(ts) // 2], 1)
+        for ph, ts in per_phase.items()
+    }
     print(json.dumps({
         "metric": "streaming_decode_throughput",
         "value": round(S * T / dt, 1),
         "unit": "IQ samples/s/chip",
+        "rtt_ms": round(rtt_ms, 3),
         "chunk": chunk,
         "chunks": n_chunks,
+        "block": K,
         "ms_per_chunk": round(dt / n_chunks * 1e3, 3),
         "ms_per_chunk_by_phase": phase_ms,
+        "samples_per_s_by_phase": phase_sps,
         "symbol_errors": errs,
     }))
     return 0

@@ -116,6 +116,44 @@ def fit_subcarrier_slope(z: jax.Array, cfg: ModemConfig) -> jax.Array:
     return b * cfg.M / (2.0 * jnp.pi * cfg.symbol_len)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preamble_sfo(
+    region: jax.Array, ac_index: jax.Array, cfg: ModemConfig
+) -> jax.Array:
+    """DATA-AIDED SFO estimate from the known S1 access codes (round 5).
+
+    At the full reference geometry (M=2048, 41 preamble symbols) even a
+    few ppm of clock offset rotates the band edges by ~0.5 rad ACROSS
+    the preamble itself: the LS channel estimate averages codes over a
+    rotating phase, the payload decodes at 20%+ SER from frame 0, and
+    every decision-directed estimator starves.  The access codes are
+    known pilots, so no decisions are needed: per subcarrier, the phase
+    ADVANCE between consecutive same-tx code observations
+    R_c = X_c * conj(S1) (windows S*symbol_len samples apart on the
+    TDMA grid, framing.cc:182-204) has slope 2*pi*delta*k*S*sym/M —
+    the same moment/fit machinery as the frame-differential estimator,
+    scaled by the S-symbol code pitch.  Unambiguous to
+    |delta| < M / (2*S*symbol_len*(M/2)) (~230 ppm at the reference
+    point), far beyond any real TCXO."""
+    from rub_mimo_tpu.estimate import ls
+    from rub_mimo_tpu.ofdm import preamble
+
+    X = ls.code_ffts(
+        region, ls.ac_offsets(ac_index, cfg), cfg,
+        uniform=(not cfg.bit_exact) and cfg.timing_mode == "joint",
+    )  # [codes, rx, tx, M]
+    t = preamble.tables(cfg)
+    S1 = jnp.asarray(t.S1).transpose(1, 0, 2)[:, None, :, :]
+    R = X * jnp.conj(S1)  # phase == X / S1 (|S1| is a positive scale)
+    occ = jnp.asarray(
+        sctype.occupied_indices(cfg.subcarrier_allocation())
+    )
+    R = R[..., occ]
+    z = jnp.sum(R[1:] * jnp.conj(R[:-1]), axis=(0, 1, 2))
+    # fit_subcarrier_slope assumes a symbol_len step; codes step S*sym
+    return fit_subcarrier_slope(z, cfg) / cfg.num_streams
+
+
 def correct_sfo(iq: jax.Array, delta: float | jax.Array) -> jax.Array:
     """Undo rx[t] = s(t * (1 + delta)): resample at t / (1 + delta)."""
     from rub_mimo_tpu.utils.resample import resample_bandlimited
@@ -177,6 +215,15 @@ def decode_with_sfo(
     dec_track = rx_mod.make_decoder(cfg_track)
 
     delta_total = jnp.float32(0.0)
+    fit_result = dec_fit(iq)
+    # stage 0 — data-aided acquisition from the known access codes
+    # (see preamble_sfo): pulls the offset to within the decision-
+    # directed refiners' capture range even when the payload decodes at
+    # high SER from frame 0 (the full-geometry regime)
+    region = rx_mod._extract_region(iq, fit_result.sync_index, cfg_fit)
+    d0 = preamble_sfo(region, fit_result.ac_index, cfg_fit)
+    delta_total = delta_total + d0
+    iq = correct_sfo(iq, d0)
     fit_result = dec_fit(iq)
     for _ in range(iters):
         tracked = dec_track(iq)

@@ -123,3 +123,41 @@ def test_decode_with_sfo_nonlinear_detectors(det):
     ser = (np.asarray(r2.rx_data)[:, :n] != tx_data[:, :n]).mean()
     assert abs(float(dtot) * 1e6 - 100.0) < 20.0, float(dtot) * 1e6
     assert ser < 0.01, ser
+
+
+def test_preamble_sfo_data_aided_tiny():
+    """The data-aided access-code estimator must recover the offset with
+    no payload decisions at all (tiny geometry, fast)."""
+    from rub_mimo_tpu.pipeline import rx as rx_mod
+
+    cfg = tiny_config(bit_exact=False, pid_max=16,
+                      modulation=Modulation.QAM16, sync_fallback=True)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=333, seed=3,
+                                 sfo_ppm=120.0)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    r = rx.decode(jnp.asarray(cap), cfg)
+    assert bool(r.synced)
+    region = rx_mod._extract_region(jnp.asarray(cap), r.sync_index, cfg)
+    d = sfo_mod.preamble_sfo(region, r.ac_index, cfg)
+    assert abs(float(d) * 1e6 - 120.0) < 25.0, float(d) * 1e6
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ppm", [20.0, 100.0])
+def test_decode_with_sfo_full_geometry(ppm):
+    """Round-5 regression: at M=2048 the ramp across the 41-symbol
+    preamble breaks the LS estimate itself (frame-0 SER > 10%), so the
+    decision-directed flow alone never converged — the data-aided
+    preamble acquisition stage must pull it in.  Full geometry, reduced
+    frames."""
+    from rub_mimo_tpu.config import ModemConfig
+
+    cfg = ModemConfig(pid_max=64, bit_exact=False)
+    spec = simulator.ChannelSpec(snr_db=30.0, delay=5000, seed=42,
+                                 sfo_ppm=ppm)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    r, dtot, _ = sfo_mod.decode_with_sfo(jnp.asarray(cap), cfg, iters=2)
+    n = cfg.pid_max * cfg.M_occupied
+    ser = (np.asarray(r.rx_data)[:, :n] != np.asarray(tx_data)[:, :n]).mean()
+    assert abs(float(dtot) * 1e6 - ppm) < 0.1 * ppm + 2.0
+    assert ser < 0.005, ser
