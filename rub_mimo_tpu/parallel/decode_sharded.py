@@ -927,13 +927,17 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         sig3 = jnp.moveaxis(out, 0, 1)  # [S, pid, m_occ]
         rx_sig = sig3.reshape(S, cfg.pid_max * m_occ)
         tab = constellation.table(cfg.modulation)
-        if demap_mod.demap_supported(m_occ, len(tab)):
-            # VPU demap kernel (same scores/tie-break as demodulate);
-            # the XLA demap's bf16-scored variadic argmax was ~0.48 ms
-            # of the 1-device sharding overhead (round-5 trace)
+        on_tpu = mesh.devices.flat[0].platform == "tpu"
+        if on_tpu and demap_mod.demap_supported(m_occ, len(tab)):
+            # VPU demap kernel (same scores/tie-break as demodulate —
+            # asserted by tests/test_kernels.py); the XLA demap's
+            # bf16-scored variadic argmax was ~0.48 ms of the 1-device
+            # sharding overhead (round-5 trace).  TPU only: the
+            # interpret-mode store clashes with the mesh jit's explicit
+            # sharding types, and non-TPU meshes match the offline
+            # demodulate anyway.
             rx_data = demap_mod.demap(
-                sig3, np.asarray(tab),
-                interpret=mesh.devices.flat[0].platform != "tpu",
+                sig3, np.asarray(tab), interpret=False,
             ).reshape(S, cfg.pid_max * m_occ)
         else:
             rx_data = constellation.demodulate(rx_sig, cfg.modulation)

@@ -26,3 +26,14 @@ def test_entry_compiles_tiny():
     jitted = jax.jit(fn)
     lowered = jitted.lower(*args)
     assert lowered is not None
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8_full_geometry():
+    """The sharded program at the REAL OFDM geometry (M=2048, CP=152,
+    20 access codes, reduced frames) must compile and sync on the
+    8-way virtual mesh (VERDICT r4 item 8)."""
+    graft.dryrun_multichip(8, full_geometry=True)

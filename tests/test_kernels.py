@@ -46,3 +46,23 @@ def test_sc_metric_pallas_detects_preamble():
         got, cfg.cp_len, cfg.plateau_threshold
     )
     assert bool(synced)
+
+
+def test_demap_kernel_matches_demodulate():
+    """kernels.eq_demap.demap (interpret) must produce the exact indices
+    of ofdm.constellation.demodulate (same scores, first-max ties)."""
+    import numpy as np
+    from rub_mimo_tpu.config import Modulation
+    from rub_mimo_tpu.kernels.eq_demap import demap, demap_supported
+    from rub_mimo_tpu.ofdm import constellation
+
+    assert demap_supported(2048, 32)
+    assert not demap_supported(64, 32)
+    rng = np.random.default_rng(5)
+    Y = jnp.asarray((rng.normal(size=(2, 16, 256))
+                     + 1j * rng.normal(size=(2, 16, 256))
+                     ).astype(np.complex64))
+    tab = np.asarray(constellation.table(Modulation.ARB32OPT))
+    got = demap(Y, tab, interpret=True)
+    want = constellation.demodulate(Y, Modulation.ARB32OPT)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -92,3 +92,43 @@ def test_siso_serial_parity():
         cfg.num_streams, cfg.pid_max, cfg.M_occupied
     ).transpose(1, 0, 2)[:n]
     np.testing.assert_allclose(blk, ser_sym, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_full_geometry_single_seed():
+    """One serial-parity case at the REAL OFDM geometry (M=2048, CP=152,
+    20 access codes; reduced frames keep the O(T*M) per-sample port
+    tractable) — the block pipeline must reproduce the per-sample state
+    machine's sync index, per-code argmaxes, and Ghat at full size, not
+    just on tiny dims (VERDICT r4 item 8)."""
+    from rub_mimo_tpu.config import ModemConfig
+
+    cfg = ModemConfig(pid_max=2, bit_exact=True)
+    # enough trailing silence for the serial port's windowcf to FILL
+    # (it triggers estimation only when the full window has been pushed,
+    # framing.cc:639-651)
+    spec = simulator.ChannelSpec(snr_db=35.0, delay=2311, seed=17,
+                                 trailing=3 * cfg.symbol_len + cfg.window_len
+                                 - (41 + cfg.pid_max) * cfg.symbol_len)
+    cap, tx_data, _ = simulator.simulate_capture(cfg, spec)
+    cap_np = np.asarray(cap)
+
+    serial = SerialFramesync(cfg)
+    serial.execute(cap_np)
+    assert serial.state == "MIMO_DONE"
+
+    block = rx.decode(jnp.asarray(cap_np), cfg)
+    assert int(block.sync_index) == serial.sync_index
+    np.testing.assert_array_equal(np.asarray(block.ac_index),
+                                  serial.ac_index)
+    np.testing.assert_allclose(np.asarray(block.G), serial.G,
+                               rtol=2e-3, atol=2e-4)
+    dec = np.stack(serial.decoded, axis=0)  # [n_sym, S, m_occ]
+    n_sym = dec.shape[0]
+    m_occ = cfg.M_occupied
+    got = np.asarray(block.rx_sig).reshape(
+        cfg.num_streams, cfg.pid_max, m_occ)[:, :n_sym]
+    want = dec.transpose(1, 0, 2)[:, : cfg.pid_max]
+    got = got[:, : want.shape[1]]
+    np.testing.assert_allclose(got, want[:, : got.shape[1]], rtol=4e-3,
+                               atol=4e-3)
