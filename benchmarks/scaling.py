@@ -99,6 +99,23 @@ def main():
         sharded0 = decode_sharded.build_sharded_decoder(
             cfg, mesh, iqp[0].shape[-1], input_format="planes")
         shard_ms = sustained(lambda p: sharded0(*p), iqp)
+
+        # evidence check: on chip, the sharded fused payload kernel's
+        # float summation differs from the XLA FFT's, so agreement is
+        # MEASURED here rather than bit-guaranteed — both results are
+        # un-permuted to natural order and the decisions compared
+        def _natural(res):
+            d = np.asarray(to_host(res.rx_data))
+            if res.payload_perm is not None:
+                perm = np.asarray(res.payload_perm)
+                d = d.reshape(d.shape[0], -1, perm.shape[0])[
+                    :, :, perm].reshape(d.shape)
+            return d
+        n_cmp = cfg.pid_max * cfg.M_occupied
+        d_plain = _natural(plain0(*planes))[:, :n_cmp]
+        d_shard = _natural(sharded0(*iqp))[:, :n_cmp]
+        mismatches = int((d_plain != d_shard).sum())
+
         print(json.dumps({
             "metric": "sharding_overhead_1dev",
             "plain_sustained_ms": round(plain_ms, 4),
@@ -106,6 +123,7 @@ def main():
             "overhead_ms": round(shard_ms - plain_ms, 4),
             "overhead_percent": round(
                 100 * (shard_ms - plain_ms) / plain_ms, 2),
+            "decision_mismatches": mismatches,
             "frames": cfg.pid_max,
             "capture": [int(S), int(T)],
             "note": "shard_map(1x1 mesh) decode vs plain jit decode on "

@@ -238,15 +238,21 @@ def _payload_fused(xr, xi, wtr, wti, gtile, *, M, S, n_sym, table,
     else:
         ospec = pl.BlockSpec((S, n1d, pack, 128), lambda i: (0, 0, i, 0))
         oshape = (S, n1d, npad, 128)
+    # under shard_map the outputs inherit the input's varying-mesh-axes
+    # type (vma); None outside (plain jit)
+    vma = getattr(jax.typeof(xr), "vma", None)
+
+    def _st(dt):
+        return jax.ShapeDtypeStruct(oshape, dt, vma=vma)
+
     sig_specs = [ospec, ospec] if emit_sig else []
-    sig_shapes = ([jax.ShapeDtypeStruct(oshape, jnp.float32)] * 2
-                  if emit_sig else [])
+    sig_shapes = [_st(jnp.float32)] * 2 if emit_sig else []
     outs = pl.pallas_call(
         kern,
         grid=(nstep,),
         in_specs=[xspec, xspec, wspec, wspec, gspec, fspec],
         out_specs=sig_specs + [ospec],
-        out_shape=sig_shapes + [jax.ShapeDtypeStruct(oshape, jnp.int8)],
+        out_shape=sig_shapes + [_st(jnp.int8)],
         interpret=interpret,
     )(xr, xi, wtr, wti, gtile, fft_consts)
     if emit_sig:

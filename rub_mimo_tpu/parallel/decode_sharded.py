@@ -74,6 +74,11 @@ class ShardedDecodeResult(NamedTuple):
     decode_start: jax.Array
     rx_sig: jax.Array
     rx_data: jax.Array
+    payload_perm: jax.Array | None = None
+    # int32[m_occ], set only when the TPU fused payload kernel ran:
+    # rx_sig/rx_data are per-frame permuted (natural = out[..., perm]);
+    # scoring applies the gather host-side (same contract as
+    # pipeline.rx's payload_impl="fused_packed")
 
 
 # --------------------------------------------------------------- stage A
@@ -220,20 +225,70 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     else:
         left = jnp.zeros((S, halo), dtype=local.dtype)
         right = jnp.zeros((S, rhalo), dtype=local.dtype)
-    ext = jnp.concatenate([left, local], axis=-1)  # [S, halo + Tloc]
-    Te = ext.shape[-1]
-    ext_r = jnp.concatenate([ext, right], axis=-1)  # [S, Te + rhalo]
-    Ter = ext_r.shape[-1]
-    # global position of ext[:, i] (and ext_r[:, i]) is shard0 - halo + i
+    # ext coordinates: position i maps to global shard0 - halo + i, with
+    # the conceptual buffer ext_r = [left | local | right].  Round 5: the
+    # buffer is NEVER materialized — the shard-sized concatenate cost
+    # ~0.43 ms/decode of dynamic-update-slice copies (trace).  Instead:
+    #   - block sums split at edge = halo + M2 into a small
+    #     [left | local[:M2]] prefix plus sums over `local` itself
+    #     (identical per-block values and summation order);
+    #   - refine/run-start windows are served from one of three
+    #     sources (small left-edge buffer | local | small right-edge
+    #     buffer) selected per window by a lax.switch.
+    Te = halo + Tloc
+    Ter = Te + rhalo
 
-    # ---- coarse pass over ext (same block-sum math as offline's
-    # tile-aligned "coarse128" formulation: the plain [S, nD, D]
-    # reshape, with D <= 64, lowered to detile/retile while-loops
-    # carrying shard-sized buffers — ~2 ms of the measured 1-device
-    # sharding overhead in the round-5 trace) ----
+    Lp = 2 * cp + 2
+    Lw = (M - 1) + Lp
+    run_w = 2 * M + 2 * cp
+    Lr = (M - 1) + run_w
+    Lmax = max(Lw, Lr)
+    edge_l = jnp.concatenate([left, local[:, :Lmax]], axis=-1)
+    edge_r = jnp.concatenate([local[:, -Lmax:], right], axis=-1)
+
+    def _make_window(L):
+        def win(cl):
+            cl = cl.astype(jnp.int32)
+            idx = jnp.where(cl < halo, 0,
+                            jnp.where(cl + L <= Te, 1, 2)).astype(jnp.int32)
+
+            def from_left(_):
+                c = jnp.clip(cl, 0, halo + Lmax - L)
+                return jax.lax.dynamic_slice(
+                    edge_l, (jnp.int32(0), c), (S, L))
+
+            def from_local(_):
+                c = jnp.clip(cl - halo, 0, Tloc - L)
+                return jax.lax.dynamic_slice(
+                    local, (jnp.int32(0), c), (S, L))
+
+            def from_right(_):
+                c = jnp.clip(cl - Te + Lmax, 0, Lmax + rhalo - L)
+                return jax.lax.dynamic_slice(
+                    edge_r, (jnp.int32(0), c), (S, L))
+
+            return jax.lax.switch(
+                idx, [from_left, from_local, from_right], None)
+
+        return win
+
+    _window_Lw = _make_window(Lw)
+    _window_Lr = _make_window(Lr)
+
+    # ---- coarse pass (tile-aligned "coarse128" block sums, split so no
+    # shard-sized ext is formed; the sub-tile [S, nD, D] reshape of the
+    # plain formulation was ~2 ms of detile/retile while-loops) ----
     nD = Te // D
     kp, ke = M2 // D, M // D
-    bs_p, bs_e = schmidl_cox.coarse_block_sums(ext, M2, nD, D, True)
+    kM2 = M2 // D
+    b0 = halo // D
+    x1 = jnp.concatenate([left, local[:, :M2]], axis=-1)
+    bs1_p, bs1_e = schmidl_cox.coarse_block_sums(
+        x1, M2, b0 + kM2, D, True)
+    bsl_p, bsl_e = schmidl_cox.coarse_block_sums(
+        local, M2, Tloc // D, D, True)
+    bs_p = jnp.concatenate([bs1_p, bsl_p[:, kM2:]], axis=-1)
+    bs_e = jnp.concatenate([bs1_e, bsl_e[:, kM2:]], axis=-1)
 
     def _mov(bs, k):
         cs = jnp.cumsum(bs, axis=-1)
@@ -248,7 +303,6 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     # coarse point i (ext blocks) sits at ext position i*D + D - 1; the
     # LOCAL points start at block halo//D; block halo//D - 1 is the
     # neighbor's last point (for the j = -1 boundary pair)
-    b0 = halo // D
     nloc = Tloc // D
     all_c = jnp.all(metric_c > thr, axis=0)          # [nD]
     loc_above = jax.lax.dynamic_slice(
@@ -265,11 +319,6 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     neg = jax.lax.top_k(jnp.where(pair, -jidx, -big), K)[0]
     cand_j = -neg                                    # smallest first
 
-    Lp = 2 * cp + 2
-    Lw = (M - 1) + Lp
-    run_w = 2 * M + 2 * cp
-    Lr = (M - 1) + run_w
-
     def refine_fire(j):
         # pair (j-1, j) in LOCAL point coords: second point at local
         # block j -> ext position halo + j*D + D - 1
@@ -277,9 +326,7 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
         p0 = t_e - cp - 1
         start = p0 - (M - 1)
         cl = jnp.clip(start, 0, Ter - Lw)
-        win = jax.lax.dynamic_slice(
-            ext_r, (jnp.int32(0), cl.astype(jnp.int32)), (S, Lw)
-        )
+        win = _window_Lw(cl)
         m_w, _ = schmidl_cox._metric_from_slice(win, M)
         q0 = p0 - cl
         qs = jnp.clip(q0 + jnp.arange(Lp, dtype=jnp.int32), 0, Lw - 1)
@@ -305,7 +352,7 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     # whose coarse pair falls past the aligned grid ----
     Wt = 2 * cp + 4 * D + 2
     tail_len = (M - 1) + Wt + cp + 2
-    twin = ext[:, Te - tail_len:]
+    twin = local[:, Tloc - tail_len:]  # the capture tail is local-only
     m_t, _ = schmidl_cox._metric_from_slice(twin, M)
     qs_t = (M - 1) + jnp.arange(Wt + cp + 2, dtype=jnp.int32)
     gpos_t = shard0 - halo + (Te - tail_len) + qs_t
@@ -332,9 +379,7 @@ def _coarse_sync_stage(local: jax.Array, cfg: ModemConfig, n_time: int,
     r_cl_g = jnp.clip(r_start_g, 0, jnp.maximum(T_total - Lr, 0))
     r_cl_e = r_cl_g - shard0 + halo                  # ext coords (>= 0)
     r_cl_e = jnp.clip(r_cl_e, 0, Ter - Lr)
-    rwin = jax.lax.dynamic_slice(
-        ext_r, (jnp.int32(0), r_cl_e.astype(jnp.int32)), (S, Lr)
-    )
+    rwin = _window_Lr(r_cl_e)
     m_r, corr_r = schmidl_cox._metric_from_slice(rwin, M)
     gpos_r = (shard0 - halo + r_cl_e) + jnp.arange(Lr, dtype=jnp.int32)
     in_scan = (gpos_r <= t_loc_best) & (gpos_r > t_loc_best - run_w)
@@ -488,6 +533,7 @@ def _payload_stage(
     n_sc: int,
     occ_idx: jax.Array,
     fuse_eq: bool,
+    use_fused_kernel: bool = False,
 ):
     """CP-strip + FFT the OFDM symbols whose start sample falls in this
     shard's time block, striped over the 'sc' axis.
@@ -552,6 +598,42 @@ def _payload_stage(
     x_t = strip_cp(span, nloc_sc, stride, cfg.cp_len)
     if x_t.shape[-1] != cfg.M:
         x_t = x_t[:, :, : cfg.M]  # n_sc > 1: keep the first M past the CP
+
+    if use_fused_kernel:
+        # PACKED fused Pallas payload tail per shard (round 5): FFT +
+        # equalize + demap in one kernel on this device's own symbol
+        # stripe, outputs left in the kernel's packed subcarrier order
+        # (ShardedDecodeResult.payload_perm — same contract as the
+        # plain decode's payload_impl="fused_packed").  Replaces the
+        # XLA FFT (+ its internal relayouts), the XLA equalize, AND the
+        # replicated demap pass.  TPU only; gated statically by
+        # build_sharded_decoder (all-occupied ZF/MMSE geometry).  The
+        # kernel's float summation differs from the XLA FFT's, so
+        # sharded-vs-plain agreement on chip is evidence-checked by
+        # benchmarks/scaling.py --overhead rather than bit-guaranteed.
+        from rub_mimo_tpu.detect.weights import weights_from
+        from rub_mimo_tpu.kernels.payload_fused import payload_fused
+
+        W, gain = weights_from(cfg, G_occ, noise_var)
+        tab = np.asarray(constellation.table(cfg.modulation))
+        sig, dat = payload_fused(
+            x_t, W, gain, tab, np.float32(1.0 / np.sqrt(m_occ)),
+            packed=True,
+        )  # [S, nloc_sc*M] each (packed subcarrier order)
+        sig3 = sig.reshape(S, nloc_sc, cfg.M)
+        dat3 = dat.reshape(S, nloc_sc, cfg.M)
+        dest = jnp.where(owned, ks, jnp.int32(cfg.pid_max))
+        sig_grid = jnp.zeros(
+            (S, cfg.pid_max + 1, m_occ), jnp.complex64
+        ).at[:, dest].add(jnp.where(owned[None, :, None], sig3, 0))
+        dat_grid = jnp.zeros(
+            (S, cfg.pid_max + 1, m_occ), jnp.int32
+        ).at[:, dest].add(jnp.where(owned[None, :, None], dat3, 0))
+        return (
+            jax.lax.psum(sig_grid[:, : cfg.pid_max], ("time", "sc")),
+            jax.lax.psum(dat_grid[:, : cfg.pid_max], ("time", "sc")),
+        )
+
     x_t = jnp.moveaxis(x_t, 0, 1)  # [nloc_sc, S, M]
     X = jnp.fft.fft(x_t, axis=-1) * np.float32(1.0 / np.sqrt(m_occ))
     Y = X[:, :, occ_idx]  # [nloc_sc, S, m_occ]
@@ -801,14 +883,29 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
     # per-symbol (everything except the cross-symbol Alamouti/tracking
     # tails): one grid assembly instead of two
     fuse_eq = cfg.mode != CommMode.ALAMOUTI and not cfg.track_channel
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
+    _tab = constellation.table(cfg.modulation)
+    _occ_np = np.asarray(sctype.occupied_indices(p))
+    _all_occ = (_occ_np.size == M
+                and np.array_equal(_occ_np, np.arange(M)))
+    from rub_mimo_tpu.kernels import payload_fused as pf_mod
+    use_fused_payload = (
+        on_tpu and fuse_eq and _all_occ
+        and cfg.mode == CommMode.RX_ZF
+        and cfg.detector in (Detector.ZF, Detector.MMSE)
+        and not cfg.track_phase
+        and pf_mod.supported(M, m_occ, S, len(_tab))
+    )
     payload_sharded = jax.shard_map(
         _cx(functools.partial(
             _payload_stage, cfg=cfg, n_time=n_time, n_sc=n_sc,
             occ_idx=occ_idx, fuse_eq=fuse_eq,
+            use_fused_kernel=use_fused_payload,
         )),
         mesh=mesh,
         in_specs=(spec_t, spec_t, P(), P(None, None, None), P()),
-        out_specs=P(None, None, None),
+        out_specs=((P(None, None, None), P(None, None, None))
+                   if use_fused_payload else P(None, None, None)),
     )
     mf_sharded = jax.shard_map(
         functools.partial(_mf_stage, cfg=cfg, n_sc=n_sc, joint=joint),
@@ -903,6 +1000,24 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         Ygrid = payload_sharded(iq_re, iq_im, pstart, G_occ, noise_var)
         from rub_mimo_tpu.detect.postprocess import postprocess_eq
 
+        if use_fused_payload:
+            # packed fused-kernel grids [S, pid, m_occ] (sig, data):
+            # already equalized + demapped on the owning devices; no
+            # replicated demap pass, no moveaxis (the grids are already
+            # stream-major)
+            sig_grid, dat_grid = Ygrid
+            rx_sig = sig_grid.reshape(S, cfg.pid_max * m_occ)
+            rx_data = dat_grid.reshape(S, cfg.pid_max * m_occ)
+            return ShardedDecodeResult(
+                synced=synced,
+                sync_index=sync_index,
+                sync_sample=t_star,
+                cfo_hat=cfo_total,
+                G=G,
+                decode_start=decode_start,
+                rx_sig=rx_sig,
+                rx_data=rx_data,
+            )
         if fuse_eq:
             out = Ygrid  # already equalized + postprocessed in-stage
         elif cfg.mode == CommMode.ALAMOUTI:
@@ -953,12 +1068,22 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
         )
 
     if input_format == "planes":
-        return jax.jit(run)
-    if input_format != "complex":
+        fn = jax.jit(run)
+    elif input_format == "complex":
+        def run_complex(iq):
+            return run(jnp.real(iq).astype(jnp.float32),
+                       jnp.imag(iq).astype(jnp.float32))
+
+        fn = jax.jit(run_complex)
+    else:
         raise ValueError(f"unknown input_format {input_format!r}")
+    if not use_fused_payload:
+        return fn
+    # attach the static permutation OUTSIDE the jitted program (a
+    # device-constant output would cost a per-run copy)
+    perm_np = pf_mod.packed_perm(M)
 
-    def run_complex(iq):
-        return run(jnp.real(iq).astype(jnp.float32),
-                   jnp.imag(iq).astype(jnp.float32))
+    def fn_with_perm(*args):
+        return fn(*args)._replace(payload_perm=perm_np)
 
-    return jax.jit(run_complex)
+    return fn_with_perm
