@@ -195,11 +195,26 @@ def main():
     S, T = capture.shape
 
     if args.batch > 1:
-        bdec = rx.make_batch_decoder(cfg)
-        capture_in = jnp.broadcast_to(
-            capture, (args.batch, S, T)
-        ) + jnp.zeros((args.batch, 1, 1), jnp.complex64)
-        dec = lambda x: bdec(x)  # noqa: E731
+        # scan-based serving decoder: N captures per device program —
+        # the fixed per-dispatch idle gap amortizes across the batch
+        # while each capture runs the fast single-capture impls (the
+        # vmap batch decoder forces both-branches selects, and its
+        # full-size program crashes this remote TPU compiler)
+        from rub_mimo_tpu.utils.impl_select import best_impl
+
+        pimpl = best_impl("payload", jax.default_backend(),
+                          include_explicit=True)
+        bdec = rx.make_serving_decoder(
+            cfg, payload_impl=pimpl, keep_rx_sig=not args.serving,
+            input_format="planes")
+        re1, im1 = jax.jit(
+            lambda c: (jnp.real(c).astype(jnp.float32),
+                       jnp.imag(c).astype(jnp.float32)))(capture)
+        capture_in = (
+            jnp.broadcast_to(re1, (args.batch, S, T)) + 0.0,
+            jnp.broadcast_to(im1, (args.batch, S, T)) + 0.0,
+        )
+        dec = lambda x: bdec(*x)  # noqa: E731
     else:
         # the headline decoder may use the layout-changing
         # "fused_packed" payload impl when the measured table says it

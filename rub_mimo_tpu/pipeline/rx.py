@@ -673,6 +673,72 @@ def decode_all(
     return results
 
 
+def make_serving_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr",
+                         payload_impl: str = "auto",
+                         keep_rx_sig: bool = True,
+                         input_format: str = "complex"):
+    """THROUGHPUT-serving decoder: decode a stack of captures in ONE
+    device program via ``lax.scan`` over the batch axis.
+
+    Unlike make_batch_decoder's vmap (which turns every lax.cond into a
+    both-branches select, forcing the slow formulations), scan compiles
+    the single-capture body ONCE with its fast cond paths intact and
+    executes the captures back-to-back on device — so the tunneled
+    attachment's fixed per-dispatch idle gap (~1.2 ms,
+    docs/BENCHMARKS.md) amortizes across the batch while per-capture
+    device time stays at the single-capture optimum.  This is the
+    serving construct for one chip; parallel.serving shards batches
+    ACROSS chips.
+
+    Returns a closure over [batch, S, T] complex (input_format
+    "complex") or ((re, im) [batch, S, T] f32 planes, "planes");
+    result fields are stacked along a leading batch axis."""
+    import functools
+
+    perm_np = None
+    if payload_impl == "fused_packed":
+        p = cfg.subcarrier_allocation()
+        _occ_np = np.asarray(sctype.occupied_indices(p))
+        all_occ = (_occ_np.size == cfg.M
+                   and np.array_equal(_occ_np, np.arange(cfg.M)))
+        if _payload_kernel_applicable(cfg, all_occ, payload_impl):
+            from rub_mimo_tpu.kernels.payload_fused import packed_perm
+
+            perm_np = packed_perm(cfg.M)
+
+    def _one(iq):
+        r = decode(iq, cfg, mf_method=mf_method,
+                   payload_impl=payload_impl, keep_rx_sig=keep_rx_sig)
+        return r._replace(payload_perm=None, metric=None, mf_traces=None)
+
+    if input_format == "planes":
+        @functools.partial(jax.jit, static_argnames=())
+        def _serve(re_stack, im_stack):
+            def body(c, x):
+                return c, _one(jax.lax.complex(x[0], x[1]))
+
+            _, rs = jax.lax.scan(body, 0, (re_stack, im_stack))
+            return rs
+    elif input_format == "complex":
+        @functools.partial(jax.jit, static_argnames=())
+        def _serve(stack):
+            def body(c, x):
+                return c, _one(x)
+
+            _, rs = jax.lax.scan(body, 0, stack)
+            return rs
+    else:
+        raise ValueError(f"unknown input_format {input_format!r}")
+
+    if perm_np is None:
+        return _serve
+
+    def _with_perm(*args):
+        return _serve(*args)._replace(payload_perm=perm_np)
+
+    return _with_perm
+
+
 def make_batch_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr"):
     """Decode MANY captures in one device program: vmap over a
     [batch, streams, T] stack.  The serving path — each capture runs the

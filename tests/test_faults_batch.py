@@ -108,3 +108,34 @@ def test_decode_no_trailing_margin():
     assert rep.synced
     assert max(rep.symbol_error_rate) < 1.0
     assert int(np.asarray(result.symbol_valid).sum()) == cfg.pid_max
+
+
+def test_serving_scan_decoder_matches_single():
+    """make_serving_decoder (lax.scan serving construct) must reproduce
+    the per-capture decode exactly for every capture in the stack."""
+    import jax
+
+    cfg = tiny_config(bit_exact=False, pid_max=4)
+    caps, txs = [], []
+    for seed in (3, 9):
+        spec = simulator.ChannelSpec(snr_db=30.0, delay=400 + 37 * seed,
+                                     seed=seed)
+        cap, tx, _ = simulator.simulate_capture(cfg, spec)
+        caps.append(np.asarray(cap))
+        txs.append(np.asarray(tx))
+    T = min(c.shape[-1] for c in caps)
+    stack = jnp.asarray(np.stack([c[:, :T] for c in caps]))
+    serve = rx.make_serving_decoder(cfg)
+    out = serve(stack)
+    for i in range(2):
+        ref = rx.decode(stack[i], cfg)
+        assert bool(out.synced[i]) == bool(ref.synced) is True
+        np.testing.assert_array_equal(np.asarray(out.rx_data[i]),
+                                      np.asarray(ref.rx_data))
+
+    planes = (jnp.real(stack).astype(jnp.float32),
+              jnp.imag(stack).astype(jnp.float32))
+    serve_p = rx.make_serving_decoder(cfg, input_format="planes")
+    out_p = serve_p(*planes)
+    np.testing.assert_array_equal(np.asarray(out_p.rx_data),
+                                  np.asarray(out.rx_data))
