@@ -138,26 +138,19 @@ def conv_encode(bits: jax.Array) -> jax.Array:
     return coded.reshape(*bits.shape[:-1], 2 * total)
 
 
-def _viterbi_1d(llrs: jax.Array) -> jax.Array:
-    """Soft Viterbi over one codeword: llrs [2*T] -> bits [T] (incl. tail)."""
+def _viterbi_pairs(pairs: jax.Array, pm0: jax.Array,
+                   end_state: jax.Array | int) -> jax.Array:
+    """Core Viterbi over llr pairs [T, 2] with a parameterized initial
+    path metric and traceback start state; returns bits [T]."""
     outs, _ = _trellis()
-    T = llrs.shape[0] // 2
-    pairs = llrs.reshape(T, 2).astype(jnp.float32)
 
-    # s' = (p >> 1) | (u << 5): predecessors of s' are p0 = (s' << 1) & 63
-    # and p1 = p0 | 1; the consumed input bit is u = s' >> 5 for both
     sp = np.arange(N_STATES)
     p0 = (sp << 1) & (N_STATES - 1)
     p1 = p0 | 1
     u = sp >> (K - 2)
-    # branch score for transition (p, u) given the llr pair:
-    #   sum_g (1 - 2 * out_g) * llr_g / 2   (maximize log-likelihood)
     sign0 = jnp.asarray((1.0 - 2.0 * outs[p0, u]) * 0.5)   # [64, 2]
     sign1 = jnp.asarray((1.0 - 2.0 * outs[p1, u]) * 0.5)
     p0j, p1j = jnp.asarray(p0), jnp.asarray(p1)
-
-    neg = jnp.float32(-1e30)
-    pm0 = jnp.full((N_STATES,), neg).at[0].set(0.0)  # encoder starts at 0
 
     def step(pm, pair):
         cand0 = pm[p0j] + sign0 @ pair
@@ -168,26 +161,91 @@ def _viterbi_1d(llrs: jax.Array) -> jax.Array:
         pm_new = pm_new - jnp.max(pm_new)
         return pm_new, take1
 
-    _, decisions = jax.lax.scan(step, pm0, pairs)    # decisions [T, 64]
+    pm_f, decisions = jax.lax.scan(step, pm0, pairs)
 
-    # traceback from the zero state (zero-tail termination)
+    start = jnp.where(
+        jnp.asarray(end_state, jnp.int32) >= 0,
+        jnp.asarray(end_state, jnp.int32),
+        jnp.argmax(pm_f).astype(jnp.int32),
+    )
+
     def back(state, dec_t):
         took1 = dec_t[state]
         bit = state >> (K - 2)                        # input bit consumed
         prev = ((state << 1) & (N_STATES - 1)) | took1.astype(jnp.int32)
         return prev.astype(jnp.int32), bit.astype(jnp.int32)
 
-    _, bits_rev = jax.lax.scan(back, jnp.int32(0), decisions, reverse=True)
+    _, bits_rev = jax.lax.scan(back, start, decisions, reverse=True)
     return bits_rev
 
 
-@jax.jit
-def viterbi_decode(llrs: jax.Array) -> jax.Array:
+def _viterbi_1d(llrs: jax.Array) -> jax.Array:
+    """Soft Viterbi over one codeword: llrs [2*T] -> bits [T] (incl. tail).
+
+    Known start state 0 (encoder reset) and traceback from state 0
+    (zero-tail termination)."""
+    T = llrs.shape[0] // 2
+    pairs = llrs.reshape(T, 2).astype(jnp.float32)
+    pm0 = jnp.full((N_STATES,), jnp.float32(-1e30)).at[0].set(0.0)
+    return _viterbi_pairs(pairs, pm0, 0)
+
+
+_PAD_LLR = 1e4  # "coded bit is certainly 0" — consistent with both the
+                # encoder reset (all-zero history) and the zero tail
+
+
+@functools.partial(jax.jit, static_argnames=("window", "margin"))
+def _viterbi_windowed_1d(llrs: jax.Array, window: int,
+                         margin: int) -> jax.Array:
+    """Block-parallel Viterbi: overlapping windows decoded as ONE
+    batched scan of length window + 2*margin, keeping each window's
+    interior.
+
+    The sequential scan over the whole codeword is the throughput wall
+    of FEC serving (a 10M-step scan ran ~17 s on chip at the reference
+    operating point).  Path decisions converge within ~5 constraint
+    lengths, so with margin >> 5*(K-1) = 30 the interior decisions
+    match the full Viterbi except in adversarial noise (pinned equal on
+    noisy random payloads in tests/test_fec.py).  Pad llrs are +_PAD_LLR
+    ("certainly 0"): exactly the encoder-reset prior on the left of
+    window 0 and the zero-tail on the right of the last window, so
+    every window runs the same uniform-prior, argmax-traceback program
+    — fully batched, no special cases."""
+    T = llrs.shape[0] // 2
+    pairs = llrs.reshape(T, 2).astype(jnp.float32)
+    W = window
+    B = -(-T // W)
+    padded = jnp.full((B * W + 2 * margin, 2), jnp.float32(_PAD_LLR))
+    padded = jax.lax.dynamic_update_slice(
+        padded, pairs, (margin, 0))
+    idx = (np.arange(B)[:, None] * W
+           + np.arange(W + 2 * margin)[None, :])
+    wins = padded[idx]                        # [B, W + 2*margin, 2]
+    pm0 = jnp.zeros((N_STATES,), jnp.float32)  # uniform prior
+    bits = jax.vmap(
+        lambda w: _viterbi_pairs(w, pm0, -1)   # argmax traceback
+    )(wins)                                    # [B, W + 2*margin]
+    return bits[:, margin : margin + W].reshape(B * W)[:T]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "margin"))
+def viterbi_decode(llrs: jax.Array, window: int | None = None,
+                   margin: int = 128) -> jax.Array:
     """Soft-decision Viterbi.  llrs [..., 2*(n+TAIL)] -> bits [..., n]
-    (tail stripped).  Leading axes are batched through one scan."""
+    (tail stripped).  Leading axes are batched through one scan.
+
+    window=None decodes each codeword with one full-length scan (the
+    exact maximum-likelihood path); an integer window uses the
+    block-parallel windowed decoder (see _viterbi_windowed_1d) — the
+    serving-throughput mode for long codewords."""
     shape = llrs.shape
     flat = llrs.reshape(-1, shape[-1])
-    bits = jax.vmap(_viterbi_1d)(flat)               # [B, n + TAIL]
+    if window is None:
+        bits = jax.vmap(_viterbi_1d)(flat)           # [B, n + TAIL]
+    else:
+        bits = jax.vmap(
+            lambda v: _viterbi_windowed_1d(v, window, margin)
+        )(flat)
     return bits[:, : bits.shape[-1] - TAIL].reshape(*shape[:-1], -1)
 
 
@@ -452,7 +510,11 @@ def _decode_from_llrs(
     llrs = depuncture_llrs(
         llrs[:, : _kept_bits(used, rate)], used, rate
     )
-    return viterbi_decode(llrs)
+    # long codewords decode block-parallel (the serving-throughput mode:
+    # a full-length sequential scan over a multi-Mbit codeword ran ~17 s
+    # on chip); short ones keep the exact one-scan ML path
+    window = 4096 if n_msg + TAIL > 4 * 4096 else None
+    return viterbi_decode(llrs, window=window)
 
 
 def decode_payload_ml(

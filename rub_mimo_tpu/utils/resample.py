@@ -52,10 +52,47 @@ def resample_linear(x: jax.Array, factor: float | jax.Array) -> jax.Array:
     return (a + (b - a) * frac).astype(x.dtype)
 
 
+def _nice_fft_len(n: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) length >= n.  XLA:TPU's FFT of a
+    length with a large prime factor goes through a lowering that crashes
+    the remote compiler at multi-million sizes (observed: T=9,160,800 =
+    2^5*3*5^2*11*347 -> bounds_check RET_CHECK on a [T,T] allocation);
+    5-smooth mixed-radix sizes compile fine."""
+    best = 1
+    while best < n:
+        best *= 2
+    p3 = 1
+    while p3 <= best:
+        p35 = p3
+        while p35 <= best:
+            m = p35
+            while m < n:
+                m *= 2
+            if m < best:
+                best = m
+            p35 *= 5
+        p3 *= 3
+    return best
+
+
 def _fft_upsample(x: jax.Array, up: int) -> jax.Array:
     """Exact band-limited upsampling by integer `up`: zero-stuff the
-    spectrum (splitting the Nyquist bin symmetrically for even T)."""
-    T = x.shape[-1]
+    spectrum (splitting the Nyquist bin symmetrically for even T).
+
+    On the TPU backend, inputs whose length is not 5-smooth are
+    zero-padded up to the next 5-smooth length first (see
+    _nice_fft_len): the unpadded FFT cannot compile there at all, and
+    the pad's truncation leakage is ~1/(pi*d) of the edge discontinuity
+    at distance d — immaterial for ppm-resampled noisy captures (the
+    on-chip SFO capability row gates ppm_hat + SER end-to-end) but NOT
+    for bin-exact full-band tones, so the CPU path stays exact and the
+    resampler unit tests pin it there."""
+    T0 = x.shape[-1]
+    T = T0
+    if jax.default_backend() == "tpu":
+        T = _nice_fft_len(T0)
+    if T != T0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, T - T0)])
     X = jnp.fft.fft(x.astype(jnp.complex64), axis=-1)
     h = T // 2
     if T % 2 == 0:

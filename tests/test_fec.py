@@ -317,3 +317,20 @@ def test_data_transport_header_guard_and_ml_route():
     assert r.Y is not None
     out, ok = fec.decode_data(r, cfg)
     assert ok and out == data
+
+
+def test_windowed_viterbi_matches_full():
+    """Block-parallel windowed Viterbi must reproduce the full-scan ML
+    decode on noisy codewords (margin >> 5K path-convergence depth)."""
+    rng = np.random.default_rng(11)
+    bits = jnp.asarray(rng.integers(0, 2, size=(2, 40000)).astype(np.int32))
+    coded = fec.conv_encode(bits)
+    # BPSK-ish soft llrs at ~4 dB Eb/N0: plenty of channel errors
+    llr = (1.0 - 2.0 * np.asarray(coded)).astype(np.float32)
+    llr = llr + rng.normal(scale=0.65, size=llr.shape).astype(np.float32)
+    llr = jnp.asarray(2.0 * llr)
+    full = fec.viterbi_decode(llr)
+    win = fec.viterbi_decode(llr, window=4096, margin=128)
+    hard_errs_full = int(jnp.sum(full != bits))
+    assert hard_errs_full < bits.size * 0.01  # sanity: code is working
+    np.testing.assert_array_equal(np.asarray(win), np.asarray(full))
