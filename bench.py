@@ -314,10 +314,12 @@ def main():
         if args.batch > 1:
             rxd = rxd[0]
         if result.payload_perm is not None:
-            # fused_packed layout: un-permute host-side (never on chip)
+            # fused_packed layout: un-permute host-side (never on chip);
+            # rx_data may be 3-D [S, n_sym, M] (the kernel's free tile
+            # view) — flatten after the gather
             perm = np.asarray(to_host(result.payload_perm))
             rxd = rxd.reshape(rxd.shape[0], -1, cfg.M_occupied)[
-                :, :, perm].reshape(rxd.shape)
+                :, :, perm].reshape(rxd.shape[0], -1)
         errs = int((np.asarray(rxd)[:, :n] != np.asarray(tx_data)[:, :n]).sum())
         ser_percent = 100.0 * errs / (cfg.num_streams * n)
     except Exception as e:  # host-transfer quirks must not kill the bench

@@ -109,8 +109,8 @@ def main():
             if res.payload_perm is not None:
                 perm = np.asarray(res.payload_perm)
                 d = d.reshape(d.shape[0], -1, perm.shape[0])[
-                    :, :, perm].reshape(d.shape)
-            return d
+                    :, :, perm]
+            return d.reshape(d.shape[0], -1)
         n_cmp = cfg.pid_max * cfg.M_occupied
         d_plain = _natural(plain0(*planes))[:, :n_cmp]
         d_shard = _natural(sharded0(*iqp))[:, :n_cmp]

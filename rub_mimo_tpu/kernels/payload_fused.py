@@ -292,13 +292,19 @@ def payload_fused(x_t: jax.Array, W: jax.Array, gain: jax.Array,
     W: [M, out, rx] complex64, gain: [M] float32 (all-occupied geometry).
     table: constellation points (numpy, static).
 
-    Returns (rx_sig [S, n_sym*M] complex64, rx_data [S, n_sym*M] int32),
-    matching  eq = (sum_j W[sc,out,j] X[j,sc]) * gain[sc]  with
+    Returns (rx_sig complex64, rx_data int32) — [S, n_sym*M] in natural
+    order by default — matching
+    eq = (sum_j W[sc,out,j] X[j,sc]) * gain[sc]  with
     X = fft(x_t) * dft_norm, demapped nearest-neighbour.
 
     packed=True emits both outputs in the kernel's own subcarrier order
-    (see ``packed_perm``: natural = out[..., perm] per frame) with zero
-    epilogue relayout — the layout-for-speed contract of the
+    (see ``packed_perm``: natural = out[..., perm] per frame) AND in 3-D
+    shape [S, n_sym, M]: that shape is a FREE bitcast of the kernel's
+    [S, n_sym, n1d, 128] tile layout, whereas flattening to
+    [S, n_sym*M] forces XLA to retile T(8,128) -> T(2,128) — a measured
+    75 us full-payload copy PER OUTPUT on the v5e (3 of them, ~0.23 ms,
+    were the largest block of the round-5 decode timeline).  Consumers
+    reshape host-side.  This is the layout-for-speed contract of the
     "fused_packed" payload impl.
 
     emit_sig=False (serving mode) skips the equalized-symbol outputs
@@ -328,5 +334,9 @@ def payload_fused(x_t: jax.Array, W: jax.Array, gain: jax.Array,
         table=tuple(np.asarray(table).tolist()), interpret=interpret,
         packed=packed, emit_sig=emit_sig,
     )
+    if packed:
+        # [S, n_sym, M] — free view of the kernel tiles; do NOT flatten
+        # (the [S, n_sym*M] retile costs ~75 us/output on chip)
+        return (sig if emit_sig else None), d
     sig = sig.reshape(S, n_sym * M) if emit_sig else None
     return sig, d.reshape(S, n_sym * M)

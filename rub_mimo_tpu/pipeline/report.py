@@ -82,15 +82,17 @@ def score(
     tx_data = np.asarray(tx_data)
     if result.payload_perm is not None:
         # payload_impl="fused_packed": outputs are per-frame permuted
-        # (natural = out[..., perm]); un-permute HOST-side so the hot
-        # decode path never pays the relayout the layout exists to avoid
+        # (natural = out[..., perm]) and may arrive 3-D
+        # [S, n_sym, M] (the kernel's free tile view); un-permute and
+        # flatten HOST-side so the hot decode path never pays the
+        # relayout the layout exists to avoid
         perm = np.asarray(result.payload_perm)
 
         def _unperm(a):
-            sh = a.shape
+            s0 = a.shape[0]
             return np.ascontiguousarray(
-                a.reshape(sh[0], -1, perm.shape[0])[:, :, perm]
-            ).reshape(sh)
+                a.reshape(s0, -1, perm.shape[0])[:, :, perm]
+            ).reshape(s0, -1)
 
         rx_data = _unperm(rx_data)
         result = result._replace(

@@ -51,7 +51,13 @@ class DecodeResult(NamedTuple):
     ac_index: jax.Array          # int32[streams, codes*streams]
     decode_start: jax.Array      # int32 — window offset of first payload CP
     rx_sig: jax.Array            # complex64[streams, pid_max * M_occupied]
+                                 # (payload_impl="fused_packed": 3-D
+                                 # [streams, pid_max, M_occupied] in the
+                                 # kernel's packed subcarrier order — a
+                                 # free view of its tile layout; see
+                                 # payload_perm)
     rx_data: jax.Array           # int32[streams, pid_max * M_occupied]
+                                 # (fused_packed: 3-D, packed order)
     symbol_valid: jax.Array      # bool[pid_max] — symbol fully inside capture
     metric: jax.Array | None     # float32[streams, T] when keep_debug
     mf_traces: jax.Array | None  # float32[streams, n_seq, symbol_len] "

@@ -211,8 +211,10 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
 
     @jax.jit
     def _unperm(d):
-        sh = d.shape
-        return d.reshape(sh[0], -1, cfg.M_occupied)[:, :, _pp].reshape(sh)
+        # packed rx_data arrives 3-D [S, n_sym, M] (free tile view);
+        # compare flattened natural order either way
+        return d.reshape(d.shape[0], -1, cfg.M_occupied)[
+            :, :, _pp].reshape(d.shape[0], -1)
 
     results: dict = {}
     for point, (impls, mk) in points.items():
