@@ -112,20 +112,14 @@ def pack_tile(v: np.ndarray | jax.Array, M: int):
     return jnp.repeat(V, pack, axis=0)
 
 
-def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
-            *out_refs, S, M, cr, ci, cb, packed, emit_sig):
-    if emit_sig:
-        er_ref, ei_ref, d_ref = out_refs
-    else:
-        (d_ref,) = out_refs
-        er_ref = ei_ref = None
-    """One grid step processes PACK frames: every tensor is a [128,128]
-    f32 tile — no lane-dim splits/merges, no tiles/concats (this
-    toolchain's Mosaic either crashes (HTTP 500) or compiles for
-    minutes on those; clean tile ops compile in seconds)."""
-    n1d = M // 128
-    pack = 128 // n1d
-
+def _fft_eq_demap(Rr_in, Ri_in, wr_ref, wi_ref, gt, f_ref,
+                  S, cr, ci, cb):
+    """The shared per-group compute: packed-MXU FFT + equalize + demap on
+    one PACK-frame tile group.  Rr_in/Ri_in: per-stream [128,128] packed
+    input tiles (rows pack*n1 + c).  Returns per output stream
+    (ar, ai, idx) [128,128] tiles in the same packed row order.  Kept
+    bit-identical between the pre-stripped kernel (_kernel) and the
+    strip-fused kernel (_kernel_strip): same contraction order."""
     # FFT constants stacked in one [6,128,128] input: L, T, W128 planes
     Lr_ = f_ref[0]
     Li_ = f_ref[1]
@@ -134,10 +128,6 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
     Vr_ = f_ref[4]
     Vi_ = f_ref[5]
 
-    def pack_in(x):  # [pack, M] -> [128, 128] rows (pack*n1 + c)
-        x3 = x.reshape(pack, n1d, 128)
-        return jnp.transpose(x3, (1, 0, 2)).reshape(128, 128)
-
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -145,8 +135,8 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
     Cr = []
     Ci = []
     for s in range(S):
-        Rr = pack_in(xr_ref[s])
-        Ri = pack_in(xi_ref[s])
+        Rr = Rr_in[s]
+        Ri = Ri_in[s]
         Ar = mm(Lr_, Rr) - mm(Li_, Ri)
         Ai = mm(Lr_, Ri) + mm(Li_, Rr)
         Br = Ar * Ttr - Ai * Tti
@@ -154,9 +144,8 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
         Cr.append(mm(Br, Vr_) - mm(Bi, Vi_))
         Ci.append(mm(Br, Vi_) + mm(Bi, Vr_))
 
-    gt = g_ref[...]
-
     # ---- equalize + demap per output stream ----
+    outs = []
     for out in range(S):
         ar = jnp.zeros((128, 128), jnp.float32)
         ai = jnp.zeros((128, 128), jnp.float32)
@@ -175,7 +164,35 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
             take = sc > best
             best = jnp.where(take, sc, best)
             idx = jnp.where(take, k, idx)
+        outs.append((ar, ai, idx))
+    return outs
 
+
+def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
+            *out_refs, S, M, cr, ci, cb, packed, emit_sig):
+    if emit_sig:
+        er_ref, ei_ref, d_ref = out_refs
+    else:
+        (d_ref,) = out_refs
+        er_ref = ei_ref = None
+    """One grid step processes PACK frames: every tensor is a [128,128]
+    f32 tile — no lane-dim splits/merges, no tiles/concats (this
+    toolchain's Mosaic either crashes (HTTP 500) or compiles for
+    minutes on those; clean tile ops compile in seconds)."""
+    n1d = M // 128
+    pack = 128 // n1d
+
+    def pack_in(x):  # [pack, M] -> [128, 128] rows (pack*n1 + c)
+        x3 = x.reshape(pack, n1d, 128)
+        return jnp.transpose(x3, (1, 0, 2)).reshape(128, 128)
+
+    Rr = [pack_in(xr_ref[s]) for s in range(S)]
+    Ri = [pack_in(xi_ref[s]) for s in range(S)]
+    outs = _fft_eq_demap(Rr, Ri, wr_ref, wi_ref, g_ref[...], f_ref,
+                         S, cr, ci, cb)
+
+    for out in range(S):
+        ar, ai, idx = outs[out]
         if packed:
             # frame-major [c(frame), k1, k2] via an in-kernel sublane
             # transpose (legal in Mosaic; probed) — the [S, npad, n1d,
@@ -189,8 +206,11 @@ def _kernel(xr_ref, xi_ref, wr_ref, wi_ref, g_ref, f_ref,
                                             (1, 0, 2))
                 ei_ref[out] = jnp.transpose(ai.reshape(n1d, pack, 128),
                                             (1, 0, 2))
+            # int32 decisions written directly: the extra HBM bytes
+            # hide under the kernel's compute, while the separate
+            # int8->int32 convert pass was ~25 us SERIALIZED after it
             d_ref[out] = jnp.transpose(
-                idx.astype(jnp.int8).reshape(n1d, pack, 128), (1, 0, 2))
+                idx.reshape(n1d, pack, 128), (1, 0, 2))
         else:
             # outputs in k1-major layout [k1, c(frame), k2] — a pure row
             # split of the packed [(pack*k1 + c), k2] tile (legal in
@@ -252,7 +272,7 @@ def _payload_fused(xr, xi, wtr, wti, gtile, *, M, S, n_sym, table,
         grid=(nstep,),
         in_specs=[xspec, xspec, wspec, wspec, gspec, fspec],
         out_specs=sig_specs + [ospec],
-        out_shape=sig_shapes + [_st(jnp.int8)],
+        out_shape=sig_shapes + [_st(jnp.int32 if packed else jnp.int8)],
         interpret=interpret,
     )(xr, xi, wtr, wti, gtile, fft_consts)
     if emit_sig:
@@ -274,10 +294,20 @@ def _payload_fused(xr, xi, wtr, wti, gtile, *, M, S, n_sym, table,
             return jnp.transpose(t, (0, 2, 3, 1)).reshape(S, npad, M)
 
     # combine the planes BEFORE the relayout: one c64 transpose instead
-    # of two f32 ones; demap indices ride the relayout as int8 (4x less
-    # HBM traffic) and widen to the API int32 afterwards
-    sig = unpack(jax.lax.complex(er, ei)) if emit_sig else None
-    d = unpack(d).astype(jnp.int32)
+    # of two f32 ones; in the non-packed path the demap indices ride the
+    # relayout as int8 (4x less HBM traffic) and widen to the API int32
+    # afterwards — the packed path has no relayout, so the kernel wrote
+    # int32 directly
+    # packed: unpack is a FREE plane bitcast — do it before the complex
+    # combine (reshaping the combined c64 was a measured ~25 us copy).
+    # non-packed: unpack is a real transpose — combine FIRST so it rides
+    # one c64 transpose instead of two f32 ones.
+    if emit_sig:
+        sig = (jax.lax.complex(unpack(er), unpack(ei)) if packed
+               else unpack(jax.lax.complex(er, ei)))
+    else:
+        sig = None
+    d = unpack(d) if packed else unpack(d).astype(jnp.int32)
     if npad != n_sym:
         sig = sig[:, :n_sym] if emit_sig else None
         d = d[:, :n_sym]
@@ -340,3 +370,214 @@ def payload_fused(x_t: jax.Array, W: jax.Array, gain: jax.Array,
         return (sig if emit_sig else None), d
     sig = sig.reshape(S, n_sym * M) if emit_sig else None
     return sig, d.reshape(S, n_sym * M)
+
+
+# ---------------------------------------------------------------------------
+# Strip-fused variant: CP strip + FFT + equalize + demap in ONE kernel
+# ---------------------------------------------------------------------------
+
+def strip_supported(M: int, m_occ: int, n_streams: int, arity: int,
+                    symbol_len: int) -> bool:
+    """Geometry gate for the strip-fused kernel (payload_impl
+    "fused_strip"): the base fused-kernel gate plus the supergroup
+    structure — G = 128/gcd(symbol_len, 128) symbols per 128-lane-aligned
+    supergroup, and G must be a whole number of PACK-frame tile groups so
+    each grid step processes whole groups."""
+    if not supported(M, m_occ, n_streams, arity):
+        return False
+    g = 128 // math.gcd(symbol_len, 128)
+    pack = 128 // (M // 128)
+    return g % pack == 0
+
+
+def _kernel_strip(mr_ref, mi_ref, tr_ref, ti_ref, wr_ref, wi_ref, g_ref,
+                  f_ref, *out_refs, S, M, sym, cp, n_sg, cr, ci, cb,
+                  emit_sig):
+    """One grid step = one supergroup of G symbols read STRAIGHT from the
+    flat payload planes; the CP strip happens as in-kernel static
+    lane-offset slices (legal on this Mosaic toolchain — probed; the
+    slices carry internal lane offsets, so rows are assembled by
+    concatenating along the LANE dim, the one place offset-mismatched
+    values may meet, then lane-split to [pack, M]).  Replaces the XLA
+    pad + supergroup reshape + symbol peel + slice chain (~0.23 ms
+    serialized at the reference operating point).
+
+    Two inputs: the MAIN planes cover the first n_sg-1 (whole)
+    supergroups; the TAIL planes are one zero-padded supergroup built
+    host/XLA-side (tiny) — so no block ever reads out of bounds, which
+    keeps behaviour identical between Mosaic and interpret mode (the
+    interpreter corrupts non-divisible edge blocks).  Packed outputs
+    only (the fused_packed contract).  Reference hot loop:
+    framing.cc:535-589.
+    """
+    if emit_sig:
+        er_ref, ei_ref, d_ref = out_refs
+    else:
+        (d_ref,) = out_refs
+        er_ref = ei_ref = None
+    n1d = M // 128
+    pack = 128 // n1d
+    G = 128 // math.gcd(sym, 128)
+    gt = g_ref[...]
+    i = pl.program_id(0)
+
+    def body(pr_ref, pi_ref):
+        for grp in range(G // pack):
+            Rr = []
+            Ri = []
+            for s in range(S):
+                def tiles(p_ref):
+                    rows = [
+                        p_ref[s:s + 1,
+                              (grp * pack + c) * sym + cp:
+                              (grp * pack + c) * sym + cp + M]
+                        for c in range(pack)
+                    ]
+                    flat = jnp.concatenate(rows, axis=1)  # [1, pack*M]
+                    x3 = flat.reshape(pack, n1d, 128)
+                    return jnp.transpose(x3, (1, 0, 2)).reshape(128, 128)
+
+                Rr.append(tiles(pr_ref))
+                Ri.append(tiles(pi_ref))
+            outs = _fft_eq_demap(Rr, Ri, wr_ref, wi_ref, gt, f_ref,
+                                 S, cr, ci, cb)
+            lo, hi = grp * pack, (grp + 1) * pack
+            for out in range(S):
+                ar, ai, idx = outs[out]
+                if emit_sig:
+                    er_ref[out, lo:hi] = jnp.transpose(
+                        ar.reshape(n1d, pack, 128), (1, 0, 2))
+                    ei_ref[out, lo:hi] = jnp.transpose(
+                        ai.reshape(n1d, pack, 128), (1, 0, 2))
+                d_ref[out, lo:hi] = jnp.transpose(
+                    idx.reshape(n1d, pack, 128), (1, 0, 2))
+
+    if n_sg == 1:
+        body(tr_ref, ti_ref)
+    else:
+        @pl.when(i < n_sg - 1)
+        def _():
+            body(mr_ref, mi_ref)
+
+        @pl.when(i == n_sg - 1)
+        def _():
+            body(tr_ref, ti_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("M", "S", "n_sym", "sym", "cp", "table", "interpret",
+                     "emit_sig"),
+)
+def _payload_fused_strip(pr, pi, wtr, wti, gtile, *, M, S, n_sym, sym, cp,
+                         table, interpret, emit_sig=True):
+    n1d = M // 128
+    G = 128 // math.gcd(sym, 128)
+    n_sg = -(-n_sym // G)
+    npad = n_sg * G
+    t = np.asarray(table)
+    cr = tuple(np.float32(v) for v in t.real)
+    ci = tuple(np.float32(v) for v in t.imag)
+    cb = tuple(np.float32(v) for v in (np.abs(t) ** 2 / 2.0))
+    fft_consts = jnp.asarray(np.stack(_consts(M)))  # [6, 128, 128]
+
+    # main = first n_sg-1 whole supergroups (a FREE lane-prefix view of
+    # the flat planes); tail = the last, possibly partial, supergroup
+    # zero-padded to a whole block (tiny: <= G*sym lanes).  No pallas
+    # block ever reads out of range.
+    SG = G * sym
+    L1 = (n_sg - 1) * SG
+    tlen = pr.shape[1] - L1
+    padw = ((0, 0), (0, SG - tlen))
+    tr = jnp.pad(pr[:, L1:], padw)
+    ti = jnp.pad(pi[:, L1:], padw)
+    if L1 > 0:
+        # full planes with a CLAMPED index map: steps < n_sg-1 read
+        # whole in-range supergroups; the last step's (unused) main
+        # block re-reads supergroup n_sg-2 — never the ragged edge, so
+        # Mosaic and the interpreter agree
+        mr, mi = pr, pi
+        m_ix = (lambda i: (0, jnp.minimum(i, n_sg - 2)))
+    else:
+        mr, mi = tr, ti  # dummy; the main branch never executes
+        m_ix = (lambda i: (0, 0))
+
+    kern = functools.partial(_kernel_strip, S=S, M=M, sym=sym, cp=cp,
+                             n_sg=n_sg, cr=cr, ci=ci, cb=cb,
+                             emit_sig=emit_sig)
+    mspec = pl.BlockSpec((S, SG), m_ix)
+    tspec = pl.BlockSpec((S, SG), lambda i: (0, 0))
+    wspec = pl.BlockSpec((S, S, 128, 128), lambda i: (0, 0, 0, 0))
+    gspec = pl.BlockSpec((128, 128), lambda i: (0, 0))
+    fspec = pl.BlockSpec((6, 128, 128), lambda i: (0, 0, 0))
+    ospec = pl.BlockSpec((S, G, n1d, 128), lambda i: (0, i, 0, 0))
+    oshape = (S, npad, n1d, 128)
+    vma = getattr(jax.typeof(pr), "vma", None)
+
+    def _st(dt):
+        return jax.ShapeDtypeStruct(oshape, dt, vma=vma)
+
+    sig_specs = [ospec, ospec] if emit_sig else []
+    sig_shapes = [_st(jnp.float32)] * 2 if emit_sig else []
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_sg,),
+        in_specs=[mspec, mspec, tspec, tspec, wspec, wspec, gspec, fspec],
+        out_specs=sig_specs + [ospec],
+        out_shape=sig_shapes + [_st(jnp.int32)],
+        interpret=interpret,
+    )(mr, mi, tr, ti, wtr, wti, gtile, fft_consts)
+    if emit_sig:
+        er, ei, d = outs
+    else:
+        (d,) = outs
+        er = ei = None
+    # [S, npad, M] — free view (sc' = 128*k1 + k2, the packed_perm
+    # layout); the up-to-G-1 trailing pad frames are RETAINED (slicing
+    # them off on device would cost a full-payload copy) — consumers
+    # score [:, :n_sym] host-side.
+    # reshape the f32 planes (free bitcasts) BEFORE the complex
+    # combine: reshaping the combined c64 array was a measured ~25 us
+    # copy on chip
+    sig = (jax.lax.complex(er.reshape(S, npad, M), ei.reshape(S, npad, M))
+           if emit_sig else None)
+    d = d.reshape(S, npad, M)
+    return sig, d
+
+
+def payload_fused_strip(p_re: jax.Array, p_im: jax.Array, W: jax.Array,
+                        gain: jax.Array, table: np.ndarray,
+                        dft_norm: float, *, n_sym: int, symbol_len: int,
+                        cp_len: int, interpret: bool = False,
+                        emit_sig: bool = True):
+    """Strip-fused payload tail (payload_impl="fused_strip"): takes the
+    FLAT payload planes [S, n_sym*symbol_len] f32 (CPs still in place —
+    exactly what extract_payload produces) and performs CP strip + FFT +
+    equalize + demap in one Pallas kernel.  Same math and contraction
+    order as payload_fused(packed=True); outputs are packed-order
+    [S, npad, M] with npad = ceil(n_sym/G)*G (trailing pad frames are
+    garbage — consumers read [:, :n_sym]).
+
+    W: [M, out, rx] complex64, gain: [M] float32, all-occupied geometry.
+    Returns (rx_sig [S, npad, M] complex64 | None, rx_data [S, npad, M]
+    int32)."""
+    S = p_re.shape[0]
+    M = W.shape[0]
+    gl = (gain * jnp.float32(dft_norm)).astype(jnp.float32)
+    wtr = jnp.stack([
+        jnp.stack([pack_tile(jnp.real(W[:, o, j]).astype(jnp.float32), M)
+                   for j in range(S)])
+        for o in range(S)
+    ])
+    wti = jnp.stack([
+        jnp.stack([pack_tile(jnp.imag(W[:, o, j]).astype(jnp.float32), M)
+                   for j in range(S)])
+        for o in range(S)
+    ])
+    gtile = pack_tile(gl, M)
+    return _payload_fused_strip(
+        p_re, p_im, wtr, wti, gtile, M=M, S=S, n_sym=n_sym,
+        sym=symbol_len, cp=cp_len,
+        table=tuple(np.asarray(table).tolist()), interpret=interpret,
+        emit_sig=emit_sig,
+    )

@@ -300,11 +300,16 @@ def _payload_kernel_applicable(
         return False
     if cfg.track_channel or cfg.track_phase:
         return False
+    table = constellation.table(cfg.modulation)
     if impl == "eqdemap":
         from rub_mimo_tpu.kernels.eq_demap import supported
+    elif impl == "fused_strip":
+        from rub_mimo_tpu.kernels.payload_fused import strip_supported
+
+        return strip_supported(cfg.M, cfg.M_occupied, cfg.num_streams,
+                               len(table), cfg.symbol_len)
     else:
         from rub_mimo_tpu.kernels.payload_fused import supported
-    table = constellation.table(cfg.modulation)
     return supported(cfg.M, cfg.M_occupied, cfg.num_streams, len(table))
 
 
@@ -433,7 +438,63 @@ def decode(
     # capture end at the operating point and trips extract_payload's
     # slow clamp+roll branch, which costs far more than the pad saved)
     cstart = jnp.clip(sync_index, 0, T) + decode_start - cfg.symbol_len
+    if payload_impl == "auto":
+        from rub_mimo_tpu.utils.impl_select import best_impl
+
+        payload_impl = best_impl("payload", jax.default_backend())
     payload = extract_payload(iq, cstart, plen, impl=window_impl)
+
+    if (payload_impl == "fused_strip"
+            and _payload_kernel_applicable(cfg, _all_occ, payload_impl)):
+        # Strip-fused Pallas tail (round 5): CP strip + FFT + equalize +
+        # demap in ONE kernel reading the FLAT payload — the XLA strip
+        # chain (pad + supergroup reshape + peel + stack, ~0.23 ms
+        # serialized on chip) disappears entirely.  Packed-order
+        # [S, npad, M] outputs (same contract as "fused_packed", plus up
+        # to G-1 trailing pad frames consumers discard via [:, :n]).
+        from rub_mimo_tpu.kernels.payload_fused import (
+            packed_perm, payload_fused_strip)
+
+        if cfg.correct_cfo:
+            # residual rotation on the flat payload (CP samples rotate
+            # too — they are discarded by the in-kernel strip); phase
+            # reference is the window origin, flat element l sits at
+            # window-relative decode_start + l
+            lidx = jnp.arange(plen, dtype=jnp.float32)
+            rotf = jnp.exp(
+                -2j * jnp.pi * (eps_s0 + eps)
+                * (decode_start.astype(jnp.float32) + lidx)
+                / np.float32(M)
+            )
+            payload = payload * rotf[None, :]
+        tab = np.asarray(constellation.table(cfg.modulation))
+        norm = np.float32(1.0 / np.sqrt(m_occ))
+        interp = jax.default_backend() != "tpu"
+        rx_sig, rx_data = payload_fused_strip(
+            jnp.real(payload).astype(jnp.float32),
+            jnp.imag(payload).astype(jnp.float32),
+            W, gain, tab, norm, n_sym=n_sym, symbol_len=cfg.symbol_len,
+            cp_len=cfg.cp_len, interpret=interp, emit_sig=keep_rx_sig)
+        win_valid = (T + cfg.symbol_len) - sync_index
+        ends = decode_start + (
+            jnp.arange(n_sym, dtype=jnp.int32) + 1) * cfg.symbol_len
+        symbol_valid = (ends <= win_valid) & synced
+        return DecodeResult(
+            synced=synced, sync_index=sync_index,
+            sync_sample=sync.sync_sample,
+            plateau_start=sync.plateau_start,
+            plateau_end=sync.plateau_end,
+            cfo_hat=cfo_total,
+            cfo_coarse=coarse_cfo if cfg.correct_cfo else jnp.float32(0.0),
+            G=G, W=W, normalize_gain=gain,
+            s0_index=mf.s0_index, ac_index=mf.ac_index,
+            decode_start=decode_start,
+            rx_sig=rx_sig, rx_data=rx_data,
+            symbol_valid=symbol_valid,
+            metric=sync.metric, mf_traces=mf.traces, Y=None,
+            payload_perm=jnp.asarray(packed_perm(M)),
+        )
+
     # CP strip + symbol split (framing.cc:558) — impl-dispatched; the
     # XLA reshape relayout was ~1/3 of the round-3 decode (see strip_cp)
     x_t = strip_cp(payload, n_sym, cfg.symbol_len, cfg.cp_len,
@@ -455,10 +516,6 @@ def decode(
             -2j * jnp.pi * (eps_s0 + eps) * wrel / np.float32(M)
         )
         x_t = x_t * rot[None, :, :]
-    if payload_impl == "auto":
-        from rub_mimo_tpu.utils.impl_select import best_impl
-
-        payload_impl = best_impl("payload", jax.default_backend())
     if (payload_impl in ("fused", "fused_packed", "eqdemap")
             and _payload_kernel_applicable(cfg, _all_occ, payload_impl)):
         # Pallas payload tails (same math as the XLA path below, same
@@ -602,7 +659,7 @@ def make_decoder(cfg: ModemConfig, *, keep_debug: bool = False,
     import functools
 
     perm_np = None
-    if payload_impl == "fused_packed":
+    if payload_impl in ("fused_packed", "fused_strip"):
         p = cfg.subcarrier_allocation()
         _occ_np = np.asarray(sctype.occupied_indices(p))
         all_occ = (_occ_np.size == cfg.M
@@ -702,7 +759,7 @@ def make_serving_decoder(cfg: ModemConfig, *, mf_method: str = "xcorr",
     import functools
 
     perm_np = None
-    if payload_impl == "fused_packed":
+    if payload_impl in ("fused_packed", "fused_strip"):
         p = cfg.subcarrier_allocation()
         _occ_np = np.asarray(sctype.occupied_indices(p))
         all_occ = (_occ_np.size == cfg.M

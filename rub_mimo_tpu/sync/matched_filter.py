@@ -63,7 +63,12 @@ _templates = templates  # backward-compat alias
 
 
 def _fft_len(n: int) -> int:
-    """Next power of two >= n."""
+    """Next power of two >= n.
+
+    A 5-smooth length (4320 instead of 8192 for the 4248-sample MF
+    windows) was tried in round 5 and measured SLOWER on chip (+57 us:
+    XLA:TPU's radix-3/5 stages insert extra layout copies that outweigh
+    the halved FLOPs at this small batch) — power of two stays."""
     return 1 << (n - 1).bit_length()
 
 
@@ -129,9 +134,22 @@ def corr_vals(
             _, wins = jax.lax.scan(_grab, 0, jnp.asarray(seq_base))
             wins = jnp.moveaxis(wins, 0, 1)  # [S, n_tmpl, Lw]
         Wf = jnp.fft.fft(wins, n=L, axis=-1)  # [S, n_tmpl, L]
-        Tf = jnp.fft.fft(tmpl, n=L, axis=-1)  # [n_tmpl, L] (constant-folded
-        # when tmpl is a literal)
-        corr = jnp.fft.ifft(Wf * jnp.conj(Tf)[None, :, :], axis=-1)
+        if isinstance(tmpl, np.ndarray):
+            # static templates (the single-chip path): the template FFT
+            # is config-constant, but XLA does NOT constant-fold the fft
+            # custom-call — the round-5 device timeline showed the
+            # [n_tmpl, L] template FFT chain re-running every decode
+            # (~30 us serialized).  Precompute conj(FFT) host-side.
+            # Float caveat: numpy's FFT rounds differently from XLA's in
+            # ulps — same class as every dispatched-impl seam (argmax
+            # consumers are tie-robust; parity tests gate the decode).
+            Tfc = jnp.asarray(
+                np.conj(np.fft.fft(tmpl, n=L, axis=-1)).astype(np.complex64)
+            )
+        else:
+            # traced template chunks (the 'sc'-sharded decoder)
+            Tfc = jnp.conj(jnp.fft.fft(tmpl, n=L, axis=-1))
+        corr = jnp.fft.ifft(Wf * Tfc[None, :, :], axis=-1)
         # corr[r, q, i] = sum_n w[r, seq_base[q] + i + n] conj(t[q, n]):
         # i + n < sym + M = Lw <= L, so the circular lags never wrap
         vals = (
@@ -212,7 +230,8 @@ def search(
     """
     S = cfg.num_streams
     n_seq = 1 + cfg.num_access_codes * S
-    tmpl = jnp.asarray(templates(cfg))  # [n_seq, M]
+    # numpy templates: corr_vals precomputes the template FFT host-side
+    tmpl = templates(cfg)  # [n_seq, M]
     # static bases: corr_vals takes the cheap fused-slice window path
     seq_base = np.arange(n_seq, dtype=np.int32) * cfg.symbol_len
     vals = corr_vals(window, cfg, tmpl, seq_base, method=method)

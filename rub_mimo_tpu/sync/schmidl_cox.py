@@ -159,7 +159,8 @@ def coarse_block_sums(x: jax.Array, M2: int, nD: int, D: int,
              == np.arange(128)[None, :]).astype(np.float32)
         )
 
-        def bsum(q):  # [S, n_full] f32 -> [S, nD] per-block sums
+        def bsum(q):  # [B, n_full] f32 -> [B, nD] per-block sums
+            B = q.shape[0]
             q = jnp.pad(q, ((0, 0), (0, nDp * D - n_full)))
             # ONE 2-D dot, not a batched einsum: with a chunk-group
             # batch dim XLA re-streams the [chunk, 128] indicator
@@ -167,13 +168,20 @@ def coarse_block_sums(x: jax.Array, M2: int, nD: int, D: int,
             # full-capture pass, round-5 sharded trace); folding the
             # groups into rows loads it once
             out = jnp.dot(
-                q.reshape(S * (nDp // 128), chunk), Bm,
+                q.reshape(B * (nDp // 128), chunk), Bm,
                 preferred_element_type=jnp.float32,
             )
-            return out.reshape(S, nDp)[:, :nD]
+            return out.reshape(B, nDp)[:, :nD]
 
-        bs_p = jax.lax.complex(bsum(jnp.real(prod)), bsum(jnp.imag(prod)))
-        bs_e = bsum(e_in)
+        # all three planes (prod re/im, energy) through ONE dot: each
+        # output row depends only on its own input row, so this is
+        # bit-identical to three separate calls while removing two
+        # serialized pad+reshape+matmul sequences from the device
+        # timeline (round-5 trace: ~5.4 us reshape + reduce each)
+        all3 = bsum(jnp.concatenate(
+            [jnp.real(prod), jnp.imag(prod), e_in], axis=0))
+        bs_p = jax.lax.complex(all3[:S], all3[S:2 * S])
+        bs_e = all3[2 * S:]
     else:
         # the D-block sums ride the MXU as a [*, D] x [D, 1] matmul — a
         # plain reshape().sum(-1) lowers to while-loops carrying
@@ -320,35 +328,43 @@ def _synchronize_coarse(
     run_w = 2 * M + 2 * cp                             # run-start window
     Lr = (M - 1) + run_w
 
-    def refine_fire(j):
-        t_i = (j + 1) * D + D - 1
-        p0 = t_i - cp - 1                              # first metric pos
-        start = p0 - (M - 1)
-        cl = jnp.clip(start, 0, T - Lw)
-        win = jax.lax.dynamic_slice(
-            x, (jnp.int32(0), cl.astype(jnp.int32)), (S, Lw)
+    # all K candidates refined in ONE batched metric computation: the K
+    # windows are sliced separately (tiny DMAs) but their metric +
+    # fire-rule math runs as single [K*S, .] / [K, S, .] ops — the
+    # round-5 device timeline showed the per-candidate formulation as 4
+    # serialized ~7 us fusions.  Bit-identical per candidate (every row
+    # of the batched ops depends only on its own window).
+    t_i = (cand_j + 1) * D + D - 1                     # [K]
+    p0 = t_i - cp - 1                                  # first metric pos
+    cl = jnp.clip(p0 - (M - 1), 0, T - Lw)             # [K]
+    wins = jnp.stack([
+        jax.lax.dynamic_slice(
+            x, (jnp.int32(0), cl[k].astype(jnp.int32)), (S, Lw)
         )
-        m_w, _ = _metric_from_slice(win, M)
-        # positions cl + q; valid exact from q >= M-1 unless cl == 0
-        q0 = p0 - cl                                   # q of position p0
-        qs = jnp.clip(q0 + jnp.arange(Lp, dtype=jnp.int32), 0, Lw - 1)
-        pos = cl + qs
-        above_s = jnp.take_along_axis(
-            m_w, jnp.broadcast_to(qs[None, :], (S, Lp)), axis=1
-        ) > thr                                        # [S, Lp]
-        # fire at p <=> >= q streams each above for the whole cp+2
-        # window ending at p (per-stream runs — NOT "q streams above at
-        # each position", which would let participants rotate); for
-        # q = S this is bitwise the old all-streams formulation
-        rl = jnp.cumsum(above_s.astype(jnp.int32), axis=1)
-        rl = rl - jnp.pad(rl[:, : -(cp + 2)], ((0, 0), (cp + 2, 0)))
-        fire = ((jnp.sum(rl >= cp + 2, axis=0) >= q)
-                & (pos >= t_i) & (pos < T))
-        p_fire = jnp.min(jnp.where(fire, pos, big))
-        ok = (j < nD - 1) & (t_i + cp < T)             # in-range candidate
-        return jnp.where(ok, p_fire, big)
-
-    fires = jnp.stack([refine_fire(cand_j[k]) for k in range(K)])
+        for k in range(K)
+    ])                                                 # [K, S, Lw]
+    m_w, _ = _metric_from_slice(wins.reshape(K * S, Lw), M)
+    m_w = m_w.reshape(K, S, Lw)
+    # positions cl + q; valid exact from q >= M-1 unless cl == 0
+    q0 = p0 - cl                                       # q of position p0
+    qs = jnp.clip(
+        q0[:, None] + jnp.arange(Lp, dtype=jnp.int32)[None, :], 0, Lw - 1
+    )                                                  # [K, Lp]
+    pos = cl[:, None] + qs                             # [K, Lp]
+    above_s = jnp.take_along_axis(
+        m_w, jnp.broadcast_to(qs[:, None, :], (K, S, Lp)), axis=2
+    ) > thr                                            # [K, S, Lp]
+    # fire at p <=> >= q streams each above for the whole cp+2
+    # window ending at p (per-stream runs — NOT "q streams above at
+    # each position", which would let participants rotate); for
+    # q = S this is bitwise the old all-streams formulation
+    rl = jnp.cumsum(above_s.astype(jnp.int32), axis=2)
+    rl = rl - jnp.pad(rl[:, :, : -(cp + 2)], ((0, 0), (0, 0), (cp + 2, 0)))
+    fire_k = ((jnp.sum(rl >= cp + 2, axis=1) >= q)
+              & (pos >= t_i[:, None]) & (pos < T))     # [K, Lp]
+    p_fire = jnp.min(jnp.where(fire_k, pos, big), axis=1)
+    ok = (cand_j < nD - 1) & (t_i + cp < T)            # in-range candidates
+    fires = jnp.where(ok, p_fire, big)
 
     # ---- tail guard: fires whose coarse pair would fall past the grid
     # (last ~2 blocks of the capture) — exact scan of the capture tail ----

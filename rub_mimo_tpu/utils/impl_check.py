@@ -195,7 +195,7 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
             lambda impl: mk_decode(cpstrip_impl=impl),
         ),
         "payload": (
-            ["xla"] + (["fused", "eqdemap", "fused_packed"]
+            ["xla"] + (["fused", "eqdemap", "fused_packed", "fused_strip"]
                        if on_tpu else []),
             lambda impl: mk_decode(payload_impl=impl),
         ),
@@ -211,10 +211,12 @@ def run_check(frames: int = 1000, iters: int = 12, verbose: bool = False,
 
     @jax.jit
     def _unperm(d):
-        # packed rx_data arrives 3-D [S, n_sym, M] (free tile view);
-        # compare flattened natural order either way
+        # packed rx_data arrives 3-D [S, n_sym, M] (free tile view) and
+        # fused_strip may carry up to G-1 trailing pad frames; compare
+        # the flattened natural-order first pid_max*m_occ either way
         return d.reshape(d.shape[0], -1, cfg.M_occupied)[
-            :, :, _pp].reshape(d.shape[0], -1)
+            :, :, _pp].reshape(d.shape[0], -1)[
+            :, : cfg.pid_max * cfg.M_occupied]
 
     results: dict = {}
     for point, (impls, mk) in points.items():

@@ -50,7 +50,7 @@ FALLBACKS = {
 # by an "auto" dispatch — only by callers that opt in explicitly and
 # know how to consume the result (see DecodeResult.payload_perm).
 EXPLICIT_ONLY = {
-    "payload": frozenset({"fused_packed"}),
+    "payload": frozenset({"fused_packed", "fused_strip"}),
 }
 
 

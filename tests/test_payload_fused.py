@@ -160,3 +160,57 @@ def test_decode_dispatch_equality_eqdemap():
     assert int(jnp.sum(r_xla.rx_data != r_eqd.rx_data)) == 0
     np.testing.assert_allclose(np.asarray(r_eqd.rx_sig),
                                np.asarray(r_xla.rx_sig), rtol=0, atol=5e-6)
+
+
+def test_payload_fused_strip_matches_packed():
+    """The strip-fused kernel (CP strip + FFT + eq + demap in one
+    kernel, flat-payload input) produces the packed kernel's decisions
+    across tail geometries: n_sym below / at / past the supergroup
+    size (G=16 at symbol_len=2200)."""
+    from rub_mimo_tpu.kernels.payload_fused import (
+        payload_fused, payload_fused_strip)
+
+    rng = np.random.RandomState(3)
+    S, M, sym, cp = 2, 2048, 2200, 152
+    W = jnp.asarray((rng.randn(M, S, S)
+                     + 1j * rng.randn(M, S, S)).astype(np.complex64))
+    gain = jnp.asarray(rng.randn(M).astype(np.float32))
+    tab = np.asarray(constellation.table(Modulation.ARB32OPT))
+    norm = np.float32(1.0 / np.sqrt(M))
+    for n_sym in (12, 16, 28):
+        flat = (rng.randn(S, n_sym * sym)
+                + 1j * rng.randn(S, n_sym * sym)).astype(np.complex64)
+        x_t = flat.reshape(S, n_sym, sym)[:, :, cp:]
+        _, d_p = payload_fused(jnp.asarray(x_t), W, gain, tab, norm,
+                               interpret=True, packed=True)
+        sig_s, d_s = payload_fused_strip(
+            jnp.real(jnp.asarray(flat)), jnp.imag(jnp.asarray(flat)),
+            W, gain, tab, norm, n_sym=n_sym, symbol_len=sym, cp_len=cp,
+            interpret=True)
+        assert d_s.shape[1] % 16 == 0  # whole supergroups (npad)
+        np.testing.assert_array_equal(
+            np.asarray(d_p)[:, :n_sym], np.asarray(d_s)[:, :n_sym])
+
+
+def test_decode_fused_strip_matches_xla():
+    """decode(payload_impl='fused_strip') skips the XLA CP-strip chain
+    entirely and still produces the XLA tail's decisions — including
+    through the flat-payload CFO-residual rotation path."""
+    for extra in ({}, {"correct_cfo": True}):
+        cfg = ModemConfig(pid_max=12, bit_exact=False, **extra)
+        spec = simulator.ChannelSpec(
+            snr_db=30.0, delay=3000,
+            cfo_subcarriers=0.12 if extra else 0.0)
+        capture, tx_data, _ = simulator.simulate_capture(cfg, spec)
+        r_x = rx.decode(jnp.asarray(capture), cfg, payload_impl="xla")
+        r_s = rx.decode(jnp.asarray(capture), cfg,
+                        payload_impl="fused_strip")
+        perm = np.asarray(r_s.payload_perm)
+        m = cfg.M_occupied
+        n = cfg.pid_max * m
+        d = np.asarray(r_s.rx_data).reshape(cfg.num_streams, -1, m)[
+            :, :, perm].reshape(cfg.num_streams, -1)[:, :n]
+        assert int((d != np.asarray(r_x.rx_data)[:, :n]).sum()) == 0
+        rep = __import__("rub_mimo_tpu.pipeline.report",
+                         fromlist=["score"]).score(r_s, tx_data, cfg)
+        assert rep.symbol_error_rate == [0.0, 0.0]
