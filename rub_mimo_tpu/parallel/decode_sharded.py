@@ -76,9 +76,11 @@ class ShardedDecodeResult(NamedTuple):
     rx_data: jax.Array
     payload_perm: jax.Array | None = None
     # int32[m_occ], set only when the TPU fused payload kernel ran:
-    # rx_sig/rx_data are per-frame permuted (natural = out[..., perm]);
-    # scoring applies the gather host-side (same contract as
-    # pipeline.rx's payload_impl="fused_packed")
+    # rx_sig/rx_data are then 3-D [S, pid_max, m_occ] grids, per-frame
+    # permuted (natural = out[..., perm]); scoring flattens + applies
+    # the gather host-side (same contract as pipeline.rx's
+    # payload_impl="fused_packed" — the device-side flatten would cost
+    # a ~75 us T(8,128)->T(2,128) retile per output)
 
 
 # --------------------------------------------------------------- stage A
@@ -1004,10 +1006,14 @@ def build_sharded_decoder(cfg: ModemConfig, mesh: Mesh, T: int,
             # packed fused-kernel grids [S, pid, m_occ] (sig, data):
             # already equalized + demapped on the owning devices; no
             # replicated demap pass, no moveaxis (the grids are already
-            # stream-major)
+            # stream-major).  Returned 3-D: flattening to [S, pid*m_occ]
+            # forces a T(8,128) -> T(2,128) retile per output (~75 us
+            # each on chip — same finding as the plain decode's packed
+            # outputs); payload_perm != None marks the 3-D packed
+            # contract, consumers flatten host-side.
             sig_grid, dat_grid = Ygrid
-            rx_sig = sig_grid.reshape(S, cfg.pid_max * m_occ)
-            rx_data = dat_grid.reshape(S, cfg.pid_max * m_occ)
+            rx_sig = sig_grid
+            rx_data = dat_grid
             return ShardedDecodeResult(
                 synced=synced,
                 sync_index=sync_index,
