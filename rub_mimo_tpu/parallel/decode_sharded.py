@@ -597,6 +597,44 @@ def _payload_stage(
     )
     if span_len < nloc_sc * stride:
         span = jnp.pad(span, ((0, 0), (0, nloc_sc * stride - span_len)))
+
+    if use_fused_kernel:
+        from rub_mimo_tpu.kernels.payload_fused import strip_supported
+        from rub_mimo_tpu.ofdm import constellation as _const
+
+        _tab_n = len(_const.table(cfg.modulation))
+        if strip_supported(cfg.M, m_occ, S, _tab_n, stride):
+            # strip-fused per shard (late round 5): the kernel consumes
+            # the FLAT span planes and CP-strips in-kernel — the XLA
+            # strip chain below (supergroup pad/reshape/peel, the bulk
+            # of the remaining 1-device sharding overhead) disappears.
+            from rub_mimo_tpu.detect.weights import weights_from
+            from rub_mimo_tpu.kernels.payload_fused import (
+                payload_fused_strip)
+
+            W, gain = weights_from(cfg, G_occ, noise_var)
+            tab = np.asarray(_const.table(cfg.modulation))
+            sig, dat = payload_fused_strip(
+                jnp.real(span).astype(jnp.float32),
+                jnp.imag(span).astype(jnp.float32),
+                W, gain, tab, np.float32(1.0 / np.sqrt(m_occ)),
+                n_sym=nloc_sc, symbol_len=stride, cp_len=cfg.cp_len,
+            )  # [S, npad_loc >= nloc_sc, M] packed order
+            npad_loc = dat.shape[1]
+            owned_p = jnp.pad(owned, (0, npad_loc - nloc_sc))
+            ks_p = jnp.pad(ks, (0, npad_loc - nloc_sc))
+            dest = jnp.where(owned_p, ks_p, jnp.int32(cfg.pid_max))
+            sig_grid = jnp.zeros(
+                (S, cfg.pid_max + 1, m_occ), jnp.complex64
+            ).at[:, dest].add(jnp.where(owned_p[None, :, None], sig, 0))
+            dat_grid = jnp.zeros(
+                (S, cfg.pid_max + 1, m_occ), jnp.int32
+            ).at[:, dest].add(jnp.where(owned_p[None, :, None], dat, 0))
+            return (
+                jax.lax.psum(sig_grid[:, : cfg.pid_max], ("time", "sc")),
+                jax.lax.psum(dat_grid[:, : cfg.pid_max], ("time", "sc")),
+            )
+
     x_t = strip_cp(span, nloc_sc, stride, cfg.cp_len)
     if x_t.shape[-1] != cfg.M:
         x_t = x_t[:, :, : cfg.M]  # n_sc > 1: keep the first M past the CP
